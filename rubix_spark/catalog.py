@@ -1,0 +1,52 @@
+"""Fixture catalog: load the driver's parquet tables (TESTDATA.md / FIXTURES.md).
+
+Tables live at ``<sf_dir>/<name>.parquet``.  ``load`` returns plain DataFrames (no session
+state); ``register_views`` additionally exposes them as temp views for ``spark.sql``.
+
+Scale note: these are straight ``spark.read.parquet`` scans — Catalyst pushes filters and
+prunes columns into the parquet reader, so downstream operators only pay for what they use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as int64 nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py); convert to a timestamp
+    here (fixture nanos are µs-aligned, so the DIV 1000 is lossless).
+    """
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, names: tuple = TABLES) -> dict[str, DataFrame]:
+    """Read several fixture tables → dict[name, DataFrame]."""
+    return {name: table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple = TABLES) -> None:
+    """Register the fixture tables as (replaceable) temp views for spark.sql()."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

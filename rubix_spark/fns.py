@@ -1,0 +1,45 @@
+"""Cross-engine deterministic expression helpers.
+
+``ROUND(double, n)`` is NOT portable: Spark rounds the shortest decimal string of the
+double (java BigDecimal.valueOf), DuckDB rounds the binary value — they disagree whenever
+the true value sits at a ``…5`` boundary (e.g. AVG hitting 152741.235).  Every float
+rounding in this engine therefore goes through ``floor(x * 10^n + 0.5) / 10^n`` — pure
+IEEE double ops that both engines evaluate bit-for-bit identically.
+
+Float *sums* are made deterministic separately, by casting to DECIMAL(18,4) per row
+before SUM (exact, associative — immune to partition/summation order), then back to
+double for the rounded output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(col: Column | str, scale: int = 4) -> Column:
+    """Per-row cast to exact decimal for order-insensitive SUM."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def round_det(col: Column, n: int = 2) -> Column:
+    """Deterministic half-up rounding of a double, identical in Spark and DuckDB."""
+    m = float(10**n)
+    return F.floor(col.cast("double") * m + 0.5) / F.lit(m)
+
+
+def money(agg: Column, alias: str) -> Column:
+    """Exact decimal aggregate -> rounded double output column."""
+    return round_det(agg, 2).alias(alias)
+
+
+def duck_round(expr: str, n: int = 2) -> str:
+    """DuckDB SQL for the same deterministic rounding."""
+    m = 10**n
+    return f"FLOOR(CAST({expr} AS DOUBLE) * {m} + 0.5) / {m}.0"
+
+
+def duck_sum2(expr: str, alias: str) -> str:
+    """DuckDB SQL: exact decimal sum -> rounded double, matching money()."""
+    return f"{duck_round(f'SUM(CAST({expr} AS DECIMAL(18,4)))', 2)} AS {alias}"

@@ -1,0 +1,317 @@
+"""X1 — deduplication operators over the ``documents`` table.
+
+Five flavors, each a registered query with a DuckDB oracle:
+
+- exact (hash-groupBy on full text)
+- keep-first exact dedup (min doc_id per text group)
+- MinHash + LSH (shingle → 16 minhash functions → 4 bands × 4 rows → band-key self-join)
+- SimHash (per-token 32-bit hash → ±1 bit votes → 32-bit signature → 8-bit band join +
+  hamming ≤ 3 verify)
+- n-gram Jaccard (shingle inverted index join, document-frequency cap to bound fanout)
+- embedding cosine near-dup (blocked self-join; exact cosine verify within blocks)
+
+Scale design (100 TB posture):
+- all candidate generation is *join-on-key* (band key / shingle / block id) — never an
+  unblocked O(n²) cross join;
+- hot shingles are capped by document frequency (the classic inverted-index skew guard);
+  the cap is applied identically in the oracle, so correctness checks still pass;
+- minhash signatures are computed from a *distinct-shingle dictionary* so each shingle is
+  hashed once per hash function, then joined back (map-side combine keeps the explode
+  narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rubix_spark import catalog
+from rubix_spark.fns import round_det
+from rubix_spark.ops import _tok
+from rubix_spark.queries import register
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_K = 3
+MAX_SHINGLE_DF = 50  # inverted-index document-frequency cap (skew guard)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_tok.shingles(_tok.tokens("text"), SHINGLE_K)).alias("sh"))
+        .distinct()
+    )
+
+
+_DUCK_DOC_SHINGLES = f"""
+    SELECT DISTINCT doc_id, unnest({_tok.duck_shingles(_tok.duck_tokens('text'), SHINGLE_K)}) AS sh
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "x1_dedup_exact",
+    """
+    SELECT COUNT(*) AS dup_groups, SUM(c - 1) AS extra_copies
+    FROM (SELECT text, COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1)
+    """,
+    doc="Exact dedup census: hash-groupBy on full text. At 100 TB, group on md5(text) instead to keep shuffle rows narrow.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    groups = docs.groupBy("text").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    return groups.agg(F.count("*").alias("dup_groups"), F.sum(F.col("c") - 1).alias("extra_copies"))
+
+
+@register(
+    "x1_dedup_keep_first",
+    """
+    SELECT COUNT(*) AS n_unique, SUM(n_chars) AS kept_chars
+    FROM (
+        SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
+        FROM documents GROUP BY text
+    )
+    """,
+    doc="Keep-first dedup: one survivor (min doc_id) per identical text; n_chars constant within a text group.",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    kept = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars"))
+    return kept.agg(F.count("*").alias("n_unique"), F.sum("n_chars").alias("kept_chars"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+@register(
+    "x1_minhash_lsh",
+    f"""
+    WITH ds AS ({_DUCK_DOC_SHINGLES}),
+    dict AS (
+        SELECT sh, h.i AS hash_id, min(md5(concat(h.i, ':', sh))) AS hv
+        FROM (SELECT DISTINCT sh FROM ds) s, (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS i) h
+        GROUP BY sh, h.i
+    ),
+    sig AS (
+        SELECT ds.doc_id, dict.hash_id, MIN(dict.hv) AS minh
+        FROM ds JOIN dict ON ds.sh = dict.sh
+        GROUP BY ds.doc_id, dict.hash_id
+    ),
+    bands AS (
+        SELECT doc_id, hash_id // {N_HASHES // N_BANDS} AS band,
+               md5(string_agg(minh, ',' ORDER BY hash_id)) AS band_key
+        FROM sig GROUP BY doc_id, hash_id // {N_HASHES // N_BANDS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                             AND a.doc_id < b.doc_id
+    """,
+    doc=(
+        "MinHash-LSH near-dup candidates: 16 md5-derived minhash functions, 4 bands of 4. "
+        "Signatures via distinct-shingle dictionary; candidates via band-key equi-join "
+        "(shuffle on band_key, never O(n^2))."
+    ),
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _doc_shingles(spark, sf_dir)
+    hash_ids = spark.range(N_HASHES).select(F.col("id").cast("int").alias("hash_id"))
+    # dictionary: each distinct shingle hashed once per hash function
+    dict_df = (
+        ds.select("sh").distinct()
+        .crossJoin(F.broadcast(hash_ids))
+        .select("sh", "hash_id", F.md5(F.encode(F.concat_ws(":", F.col("hash_id"), F.col("sh")), "utf-8")).alias("hv"))
+    )
+    sig = (
+        ds.join(dict_df, "sh")
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("hv").alias("minh"))
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = (
+        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("hash_id", "minh"))),
+                            lambda x: x["minh"],
+                        ),
+                        ",",
+                    ),
+                    "utf-8",
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+_DUCK_TOKENS_TBL = f"""
+    SELECT doc_id, unnest({_tok.duck_tokens('text')}) AS tok FROM documents
+"""
+
+@register(
+    "x1_simhash",
+    f"""
+    WITH toks AS ({_DUCK_TOKENS_TBL}),
+    th AS (SELECT doc_id, tok, {_tok.duck_hash32('tok')} AS h FROM toks),
+    bits AS (
+        SELECT doc_id, b.i AS bit,
+               SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th, (SELECT unnest(generate_series(0, 31)) AS i) b
+        GROUP BY doc_id, b.i
+    ),
+    sig AS (
+        SELECT doc_id, SUM(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, g.i AS band, (simhash >> (8 * g.i)) & 255 AS band_val
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) g
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamdist
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                             AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    """,
+    doc=(
+        "SimHash near-dup: 32-bit signature from ±1 token-bit votes; candidate pairs via "
+        "8-bit band join (pigeonhole: hamming ≤3 ⇒ ≥1 of 4 bands equal), verified with "
+        "bit_count(xor) ≤ 3."
+    ),
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tok.tokens("text")).alias("tok"))
+    th = toks.select("doc_id", _tok.hash32(F.col("tok")).alias("h"))
+    bit_ids = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    bits = (
+        th.crossJoin(F.broadcast(bit_ids))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)).alias("vote"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0))).alias("simhash")
+    )
+    band_ids = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    bands = sig.crossJoin(F.broadcast(band_ids)).select(
+        "doc_id", "simhash", "band", F.expr("shiftright(simhash, 8 * band) & 255").alias("band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_val") == F.col("b.band_val")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(ham <= 3)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamdist"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+@register(
+    "x1_ngram_jaccard",
+    f"""
+    WITH ds AS ({_DUCK_DOC_SHINGLES}),
+    rare AS (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    dsr AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM dsr a JOIN dsr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           FLOOR(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000.0 AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """,
+    doc=(
+        "3-gram Jaccard near-dup via inverted-index self-join; shingles with document "
+        "frequency > 50 are dropped from candidate generation (skew guard — a boilerplate "
+        "phrase shared by 1e6 docs would otherwise explode the join)."
+    ),
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _doc_shingles(spark, sf_dir)
+    rare = ds.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") <= MAX_SHINGLE_DF).select("sh")
+    dsr = ds.join(rare, "sh")
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = dsr.alias("a"), dsr.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", round_det(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (blocked)
+# ---------------------------------------------------------------------------
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+
+
+@register(
+    "x1_embedding_neardup",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR(({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000.0 AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.95
+    """,
+    doc=(
+        "Embedding-cosine near-dup, blocked by label (stand-in for an ANN/IVF bucket id at "
+        "scale): exact cosine verify inside blocks only — the join shuffles on the block "
+        "key, pairs are O(sum of block^2), never global O(n^2)."
+    ),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(sim >= 0.95)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), round_det(sim, 4).alias("sim"))
+    )

@@ -1,0 +1,110 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, processed in Arrow batches.
+
+Design (SURVEY.md north star): image/audio/video travel as ``BinaryType`` columns with a
+typed metadata struct alongside. All per-payload work (metadata extraction, decode,
+resize, frame-sample) runs through ``mapInPandas`` — Arrow-batched, schema-stable,
+partition-parallel — never a row-at-a-time Python UDF and never a driver collect.
+
+The container has no image/audio codecs, so the *real* decode is stubbed behind
+``decode_payload(..., fake=False)`` → ``NotImplementedError``; the deterministic fake
+derives dimensions from the payload's md5 so the full Spark plumbing (schema, batch
+iteration, partitioning) is exercised and oracle-checked.
+
+Payloads in the registered queries are synthesized from ``documents.text`` (utf-8 bytes)
+because the fixtures carry no true binary column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rubix_spark import catalog
+from rubix_spark.queries import register
+
+META_SCHEMA = "doc_id bigint, n_bytes int, content_md5 string"
+DECODE_SCHEMA = "doc_id bigint, width int, height int, channels int"
+
+
+def decode_payload(payload: bytes, fake: bool = True) -> tuple[int, int, int]:
+    """Decode an image payload to (width, height, channels).
+
+    ``fake=True`` (the only mode available in this container) derives deterministic
+    dimensions from md5(payload); ``fake=False`` is the seam where a real codec
+    (PIL/ffmpeg) plugs in.
+    """
+    if not fake:
+        raise NotImplementedError("real image/audio decode requires codec libs not present in this container")
+    h = hashlib.md5(payload).hexdigest()
+    return int(h[:4], 16) % 1920 + 1, int(h[4:8], 16) % 1080 + 1, 3
+
+
+def extract_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched metadata extraction over a binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "content_md5": pdf[payload_col].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return df.mapInPandas(run, schema=META_SCHEMA)
+
+
+def decode_batch(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched (fake) decode over a binary column → typed dimensions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf[payload_col].map(lambda b: decode_payload(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "channels": dims.map(lambda d: d[2]).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+
+@register(
+    "x5_multimodal_meta",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Binary-column metadata extraction via mapInPandas (Arrow batches); md5/length oracle-checked.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_metadata(_payloads(spark, sf_dir))
+
+
+@register(
+    "x5_multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS INT) AS width,
+           CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS INT) AS height,
+           3 AS channels
+    FROM documents
+    """,
+    doc="Deterministic fake decode through the real mapInPandas plumbing (schema/batching/partitioning).",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_batch(_payloads(spark, sf_dir))

@@ -1,0 +1,227 @@
+"""X2 — similarity search over the ``embeddings`` table (``embedding: array<float>``).
+
+Three paths, mirroring how a 100 TB vector corpus is actually served:
+
+- ``x2_ann_bruteforce`` — exact cosine top-k against a query vector.  The query vector is
+  a 1-row broadcast; the scan is embarrassingly parallel; top-k is
+  TakeOrderedAndProject (per-partition heaps + driver merge of k rows, never a full sort).
+- ``x2_ann_ivf``       — IVF-lite: a deterministic centroid set (first 16 vectors stands in
+  for a k-means codebook), every vector assigned to its nearest centroid (broadcast join —
+  this is the "build" pass you'd persist, bucketed by centroid id), then the query probes
+  only its ``NPROBE`` nearest centroid buckets.  At scale: the assignment table is written
+  bucketed by ``centroid_id`` so a probe reads only matching buckets.
+- ``x2_ann_lsh``       — sign-LSH: 8 deterministic md5-derived hyperplanes → 8-bit bucket
+  key; candidates = query's bucket only.
+
+All arithmetic is float→double before multiply/sum, sequential fold on both engines, so
+the oracle hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rubix_spark import catalog
+from rubix_spark.fns import round_det
+from rubix_spark.queries import register
+
+TOP_K = 10
+N_CENTROIDS = 16
+NPROBE = 4
+N_PLANES = 8
+DIM = 64
+QUERY_VEC_ID = 0
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over array<float> columns, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"{DUCK_DOT.format(a=a, b=b)} / "
+        f"(sqrt({DUCK_DOT.format(a=a, b=a)}) * sqrt({DUCK_DOT.format(a=b, b=b)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute force
+# ---------------------------------------------------------------------------
+@register(
+    "x2_ann_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT v.vec_id, FLOOR(({_duck_cos('v.embedding', 'q.qe')}) * 10000 + 0.5) / 10000.0 AS sim
+    FROM embeddings v, q
+    ORDER BY {_duck_cos('v.embedding', 'q.qe')} DESC, v.vec_id
+    LIMIT {TOP_K}
+    """,
+    doc="Exact cosine top-k: broadcast 1-row query vector, full scan, per-partition heap top-k.",
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    sim = cosine(F.col("embedding"), F.col("qe"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-lite probe
+# ---------------------------------------------------------------------------
+@register(
+    "x2_ann_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_duck_cos('v.embedding', 'c.ce')} DESC, c.cid) AS rn
+            FROM embeddings v, cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probes AS (
+        SELECT cid FROM cent, q
+        ORDER BY {_duck_cos('cent.ce', 'q.qe')} DESC, cid LIMIT {NPROBE}
+    )
+    SELECT a.vec_id, FLOOR(({_duck_cos('a.embedding', 'q.qe')}) * 10000 + 0.5) / 10000.0 AS sim
+    FROM assign a JOIN probes p ON a.cid = p.cid, q
+    ORDER BY {_duck_cos('a.embedding', 'q.qe')} DESC, a.vec_id
+    LIMIT {TOP_K}
+    """,
+    doc=(
+        "IVF probe: assign vectors to nearest of 16 deterministic centroids (broadcast "
+        "join build pass; persisted bucketed-by-cid at scale), probe the query's 4 nearest "
+        "centroid buckets, exact cosine inside probed buckets only."
+    ),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("ce")).alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
+    assign = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .orderBy(cosine(F.col("ce"), F.col("qe")).desc(), "cid")
+        .limit(NPROBE)
+        .select("cid")
+    )
+    sim = cosine(F.col("embedding"), F.col("qe"))
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH buckets
+# ---------------------------------------------------------------------------
+# Deterministic pseudo-random hyperplanes: component (p, j) = (hash32(md5("p_j")) % 1000) - 500.
+_DUCK_PLANES = f"""
+    SELECT p.i AS plane, j.i AS dim,
+           CAST(CAST(concat('0x', substr(md5(concat(p.i, '_', j.i)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) AS w
+    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS i) p,
+         (SELECT unnest(generate_series(0, {DIM - 1})) AS i) j
+"""
+
+
+@register(
+    "x2_ann_lsh",
+    f"""
+    WITH planes AS ({_DUCK_PLANES}),
+    sigs AS (
+        SELECT v.vec_id, pl.plane,
+               CASE WHEN SUM(CAST(v.embedding[pl.dim + 1] AS DOUBLE) * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+        FROM embeddings v, planes pl
+        GROUP BY v.vec_id, pl.plane
+    ),
+    keys AS (
+        SELECT vec_id, SUM(bit * (1 << plane)) AS bucket FROM sigs GROUP BY vec_id
+    ),
+    q AS (
+        SELECT k.bucket AS qb, v.embedding AS qe
+        FROM keys k JOIN embeddings v ON v.vec_id = k.vec_id
+        WHERE k.vec_id = {QUERY_VEC_ID}
+    )
+    SELECT v.vec_id, FLOOR(({_duck_cos('v.embedding', 'q.qe')}) * 10000 + 0.5) / 10000.0 AS sim
+    FROM keys k JOIN embeddings v ON v.vec_id = k.vec_id, q
+    WHERE k.bucket = q.qb
+    ORDER BY {_duck_cos('v.embedding', 'q.qe')} DESC, v.vec_id
+    LIMIT {TOP_K}
+    """,
+    doc=(
+        "Sign-LSH: 8 md5-derived deterministic hyperplanes → 8-bit bucket; search only the "
+        "query's bucket. At scale the bucket id is a partition key (256-way); recall is "
+        "traded via multi-probe (flip-1-bit buckets) — exactness is NOT claimed."
+    ),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(DIM).select(F.col("id").cast("int").alias("dim")))
+        .select(
+            "plane",
+            "dim",
+            (
+                F.conv(F.substring(F.md5(F.encode(F.concat_ws("_", "plane", "dim"), "utf-8")), 1, 8), 16, 10)
+                .cast("long") % 1000 - 500
+            ).cast("double").alias("w"),
+        )
+    )
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+    sigs = (
+        comp.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.when(F.sum(F.col("x").cast("double") * F.col("w")) > 0, 1).otherwise(0).alias("bit"))
+    )
+    keys = sigs.groupBy("vec_id").agg(F.sum(F.expr("bit * shiftleft(1, plane)")).alias("bucket"))
+    q = (
+        keys.where(F.col("vec_id") == QUERY_VEC_ID)
+        .join(emb.where(F.col("vec_id") == QUERY_VEC_ID), "vec_id")
+        .select(F.col("bucket").alias("qb"), F.col("embedding").alias("qe"))
+    )
+    sim = cosine(F.col("embedding"), F.col("qe"))
+    return (
+        keys.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("bucket") == F.col("qb"))
+        .select("vec_id", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )

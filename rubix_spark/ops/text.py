@@ -1,0 +1,188 @@
+"""X3 — text analysis over the ``documents`` table.
+
+- per-language corpus stats (``x3_text_stats``)
+- token frequency census via explode (``x3_token_stats``)
+- token counting, whitespace + regex "BPE-ish" piece count (``x3_token_count``)
+- language-ID n-gram/marker heuristic (``x3_langid``)
+- quality scoring: length / punctuation / stopword ratios (``x3_quality``)
+- document fingerprinting: min-hash-of-shingles rolling fingerprint (``x3_fingerprint``)
+
+Everything is built-in expression API (JVM-side, codegen'd); the only shuffles are the
+final groupBys, which aggregate map-side first. At 100 TB the explode-based token census
+benefits from partial aggregation exactly the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rubix_spark import catalog
+from rubix_spark.fns import round_det
+from rubix_spark.ops import _tok
+from rubix_spark.queries import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_MARKERS = {"en": "the", "fr": "le", "de": "der", "es": "el", "zh": "zh"}
+
+
+@register(
+    "x3_text_stats",
+    """
+    SELECT lang, COUNT(*) AS docs,
+           FLOOR(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_chars,
+           MAX(LENGTH(text)) AS max_len
+    FROM documents GROUP BY lang
+    """,
+    doc="Per-language corpus stats; exact integer sums, so engines agree bit-for-bit.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        round_det(F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_chars"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+@register(
+    "x3_token_stats",
+    f"""
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest({_tok.duck_tokens('text')}) AS tok FROM documents)
+    GROUP BY tok HAVING COUNT(*) >= 10
+    """,
+    doc="Vocabulary census: explode(tokens) → groupBy(token). Partial agg makes the shuffle proportional to vocab, not corpus.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tok.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 10)
+    )
+
+
+@register(
+    "x3_token_count",
+    f"""
+    SELECT doc_id,
+           len({_tok.duck_tokens('text')}) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpeish_tokens,
+           LENGTH(text) AS n_chars_m
+    FROM documents
+    """,
+    doc="Per-doc token counts: whitespace tokens + a BPE-ish regex piece count (letters runs / digit runs / symbols).",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tok.tokens("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias("bpeish_tokens"),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+_MARKER_CASE = " ".join(
+    f"WHEN ' ' || text || ' ' LIKE '% {w} %' THEN '{lang}'" for lang, w in _MARKERS.items()
+)
+
+
+@register(
+    "x3_langid",
+    f"""
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM (SELECT lang, CASE {_MARKER_CASE} ELSE 'und' END AS lang_pred FROM documents)
+    GROUP BY lang, lang_pred
+    """,
+    doc=(
+        "Marker-token language-ID heuristic (first matching language marker wins), reported "
+        "as a lang × lang_pred confusion census. Pure expression work — no shuffle until the "
+        "tiny census groupBy."
+    ),
+)
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    expr = None
+    for lang, w in _MARKERS.items():
+        cond = padded.like(f"% {w} %")
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("und")
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "x3_quality",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               len({_tok.duck_tokens('text')}) AS n_tok,
+               CAST(len(list_filter({_tok.duck_tokens('text')}, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                   / NULLIF(len({_tok.duck_tokens('text')}), 0) AS stop_ratio,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / LENGTH(text) AS punct_ratio
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS docs,
+           FLOOR(CAST(SUM(CAST(n_tok AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_tokens,
+           FLOOR(CAST(SUM(CAST(stop_ratio AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_stop_ratio,
+           FLOOR(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_punct_ratio
+    FROM per_doc GROUP BY source
+    """,
+    doc=(
+        "Quality scoring per source: token count, stopword ratio, punctuation ratio. "
+        "Per-doc ratios are exact small-int divisions; averages go through DECIMAL so the "
+        "oracle agrees despite groupBy summation order."
+    ),
+)
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = _tok.tokens("text")
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / F.nullif(n_tok, F.lit(0))
+    )
+    punct_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))).cast("double")
+        / F.length("text")
+    )
+    per_doc = docs.select(
+        "source", n_tok.alias("n_tok"), stop_ratio.alias("stop_ratio"), punct_ratio.alias("punct_ratio")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        round_det(F.sum(F.col("n_tok").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_tokens"),
+        round_det(F.sum(F.col("stop_ratio").cast("decimal(18,9)")).cast("double") / F.count("*"), 4).alias("avg_stop_ratio"),
+        round_det(F.sum(F.col("punct_ratio").cast("decimal(18,9)")).cast("double") / F.count("*"), 4).alias("avg_punct_ratio"),
+    )
+
+
+@register(
+    "x3_fingerprint",
+    f"""
+    SELECT doc_id, MIN(md5(sh)) AS fp
+    FROM (SELECT doc_id, unnest({_tok.duck_shingles(_tok.duck_tokens('text'), 3)}) AS sh FROM documents)
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Document fingerprint: min-of-hashed-3-shingles (winnowing-style content signature). "
+        "Identical docs (and heavy overlaps) collide; used as a cheap pre-dedup key."
+    ),
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_tok.shingles(_tok.tokens("text"), 3)).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.encode(F.col("sh"), "utf-8"))).alias("fp"))
+    )

@@ -1,0 +1,81 @@
+"""X4 — the UDF/UDAF/UDTF surface, Arrow-batched.
+
+Demonstrates the three user-function shapes on the ``events`` / ``documents`` tables:
+
+- scalar vectorized UDF (``pandas_udf``): operates on Arrow batches, ~10-100× faster than
+  row-at-a-time Python UDFs and the only acceptable Python hot path at 100 TB;
+- grouped-aggregate pandas UDF: per-group numpy reduction (median — not expressible as a
+  built-in deterministic aggregate);
+- UDTF shape: posexplode with ordinality (built-in generator, no Python at all).
+
+Each has a plain-SQL oracle so the correctness gate covers the Python path end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from rubix_spark import catalog
+from rubix_spark.fns import round_det
+from rubix_spark.ops import _tok
+from rubix_spark.queries import register
+
+
+# return types passed as DataType objects (not DDL strings) so the UDFs can be defined
+# before any SparkSession exists
+@pandas_udf(DoubleType())
+def double_value(v: pd.Series) -> pd.Series:
+    """Vectorized scalar: value * 2 (×2 is exact in binary, so the SQL oracle matches bit-for-bit)."""
+    return v * 2.0
+
+
+@register(
+    "x4_udf_scalar",
+    "SELECT event_id, value * 2 AS doubled FROM events",
+    doc="Arrow-batched scalar pandas UDF; oracle is the equivalent built-in expression.",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return events.select("event_id", double_value("value").alias("doubled"))
+
+
+@pandas_udf(DoubleType())
+def median_value(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF: interpolated median (matches DuckDB's quantile_cont(0.5))."""
+    return float(v.median())
+
+
+@register(
+    "x4_udf_grouped_median",
+    "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
+    doc="Grouped-aggregate pandas UDF (per-user median): Arrow batch per group, numpy reduction.",
+)
+def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(round_det(median_value("value")).alias("med"))
+
+
+@register(
+    "x4_udtf_explode",
+    f"""
+    SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                                     i -> {{'pos': i - 1, 'tok': toks[i]}})) AS u
+        FROM (SELECT doc_id, {_tok.duck_tokens('text')} AS toks FROM documents WHERE doc_id < 20)
+    )
+    """,
+    doc="UDTF shape: posexplode(tokens) — one row per (doc, position, token); pure JVM generator.",
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(_tok.tokens("text")).alias("pos", "tok"))
+    )

@@ -1,0 +1,554 @@
+"""Relational query inventory Q1..Q20 (SURVEY.md §2.B).
+
+Shapes derive from the reference's workload corpus: the TPC-DS stress suite
+(``/root/reference/rubix-stress/queries/*.sql``), the perf query
+(``/root/reference/perf/query_tpcds.sql:1-37``) and the smoke query
+(``/root/reference/perf/query.sql:1``).  Each builder is idiomatic DataFrame API —
+Catalyst gets the whole plan (pushdown, pruning, join selection, AQE) — and each oracle
+is the equivalent DuckDB SQL.
+
+Determinism rules (FIXTURES.md §5 + rubix_spark.fns):
+- float SUMs go through DECIMAL(18,4) so the aggregate is exact and associative
+  (summation order differs between engines; at 60k rows the error reaches cents);
+- float rounding uses floor(x*100+0.5)/100 — ROUND(double) itself is not portable;
+- aggregate/computed columns are aliased identically in builder and oracle.
+
+Scale notes are inline per query; globally: dimension joins broadcast, fact-fact joins
+shuffle on their keys with AQE skew handling, scans are parquet with pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rubix_spark import catalog
+from rubix_spark.fns import dec, duck_round, duck_sum2, money, round_det
+from rubix_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# Q1 scan + filter + project
+# ---------------------------------------------------------------------------
+@register(
+    "q1_scan_filter",
+    """
+    SELECT l_orderkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
+    """,
+    doc="Predicate pushdown + column pruning; parquet scan reads 5 columns, not 11.",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp")) & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 full-scan aggregate (max_all shape — rubix-stress/queries/max_all.sql:1-27)
+# ---------------------------------------------------------------------------
+@register(
+    "q2_max_all",
+    f"""
+    SELECT MAX(l_orderkey) AS max_okey, MAX(l_partkey) AS max_pkey, MAX(l_suppkey) AS max_skey,
+           MAX(l_linenumber) AS max_lineno,
+           {duck_round('MAX(l_quantity)')} AS max_qty,
+           {duck_round('MAX(l_extendedprice)')} AS max_price,
+           {duck_round('MAX(l_discount)')} AS max_disc,
+           {duck_round('MAX(l_tax)')} AS max_tax,
+           MAX(l_returnflag) AS max_rflag, MAX(l_linestatus) AS max_lstatus,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+    doc="Full-scan max over every column; single-pass partial+final agg, no shuffle of data rows.",
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.max("l_orderkey").alias("max_okey"),
+        F.max("l_partkey").alias("max_pkey"),
+        F.max("l_suppkey").alias("max_skey"),
+        F.max("l_linenumber").alias("max_lineno"),
+        round_det(F.max("l_quantity")).alias("max_qty"),
+        round_det(F.max("l_extendedprice")).alias("max_price"),
+        round_det(F.max("l_discount")).alias("max_disc"),
+        round_det(F.max("l_tax")).alias("max_tax"),
+        F.max("l_returnflag").alias("max_rflag"),
+        F.max("l_linestatus").alias("max_lstatus"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 hash aggregate + having
+# ---------------------------------------------------------------------------
+@register(
+    "q3_agg_having",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {duck_sum2('l_extendedprice', 'rev')}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    """,
+    doc="Partial (map-side) + final hash agg; 6 groups, so the shuffle is tiny regardless of SF.",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), money(F.sum(dec("l_extendedprice")), "rev"))
+        .where(F.col("cnt") > 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 multi-way star join (q19 shape — perf/query_tpcds.sql:1-37)
+# ---------------------------------------------------------------------------
+@register(
+    "q4_star_join",
+    f"""
+    SELECT n.n_name,
+           {duck_round("SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))")} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+    doc=(
+        "Headline star join. lineitem⋈orders shuffles on orderkey (the only big-big join); "
+        "supplier/nation/region/customer broadcast — at 100 TB the fact side streams through "
+        "broadcast-hash joins without re-shuffling. region filter prunes before the join."
+    ),
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    region = t["region"].where(F.col("r_name") == "ASIA")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(money(F.sum(dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 theta predicate inside join (perf/query_tpcds.sql:23 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q5_theta_join",
+    """
+    SELECT COUNT(*) AS cnt
+    FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+    WHERE SUBSTR(s.s_name, 1, 2) <> SUBSTR(c.c_name, 1, 2)
+    """,
+    doc="Equi-join carries the theta predicate as a post-join filter (same plan the reference engines use).",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("supplier", "customer"))
+    return (
+        F.broadcast(t["supplier"])
+        .join(t["customer"], F.col("s_nationkey") == F.col("c_nationkey"))
+        .where(F.substring("s_name", 1, 2) != F.substring("c_name", 1, 2))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 left outer join + aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "q6_left_join",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="Outer join preserving unmatched customers; COUNT of a nullable column yields 0 for them.",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 semi join
+# ---------------------------------------------------------------------------
+@register(
+    "q7_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+    doc="LEFT SEMI join — no row multiplication, orders side reduced to distinct keys by the plan.",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    hot = t["orders"].where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(hot, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 anti join (NOT IN with non-null keys — FIXTURES guarantees o_custkey NOT NULL)
+# ---------------------------------------------------------------------------
+@register(
+    "q8_anti_join",
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    doc="LEFT ANTI join; NOT-IN null trap avoided because o_custkey is non-null in the fixtures.",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 CTE + self-join of the CTE (query47 shape — rubix-stress/queries/query47.sql:4-36)
+# ---------------------------------------------------------------------------
+@register(
+    "q9_cte_self_join",
+    f"""
+    WITH s AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, {duck_sum2('o_totalprice', 't')}
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT a.o_custkey, a.d, a.t, b.t AS prev_t
+    FROM s a JOIN s b ON a.o_custkey = b.o_custkey AND b.d = a.d - 1
+    """,
+    doc=(
+        "CTE = reused DataFrame; the self-join reuses one shuffle on o_custkey because both "
+        "sides share the aggregation's output partitioning (Catalyst reuses the exchange)."
+    ),
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    s = (
+        orders.groupBy("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .agg(money(F.sum(dec("o_totalprice")), "t"))
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey")) & (F.col("b.d") == F.date_sub(F.col("a.d"), 1)),
+    ).select(F.col("a.o_custkey").alias("o_custkey"), F.col("a.d").alias("d"), F.col("a.t").alias("t"), F.col("b.t").alias("prev_t"))
+
+
+# ---------------------------------------------------------------------------
+# Q10 window ranking (query44/query47 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc="Top-3 per customer. One shuffle on o_custkey; at scale the rank-filter pushes via AQE window-group-limit.",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 window analytic with frame + lag (query47 psum/nsum shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_window_frame",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           {duck_round('''AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS mavg,
+           {duck_round("LAG(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")} AS prev
+    FROM orders
+    """,
+    doc="Moving average over a 3-row frame + lag; frame sums are ≤3 doubles in deterministic order, so engines agree.",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        round_det(F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow))).alias("mavg"),
+        round_det(F.lag("o_totalprice", 1, 0.0).over(w)).alias("prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 ROLLUP (query27/query80 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_rollup",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS cnt
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="Hierarchical totals via ROLLUP; expand-then-aggregate, grouping-set nulls mark subtotal rows.",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("nation", "region"))
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 count(distinct) + bucketed conditional aggregates (query28 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_distinct_buckets",
+    f"""
+    SELECT COUNT(DISTINCT o_custkey) AS dc,
+           {duck_round('''CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 50000
+                               THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 1 END), 0)''')} AS b1,
+           {duck_round('''CAST(SUM(CASE WHEN o_totalprice > 50000
+                               THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN o_totalprice > 50000 THEN 1 END), 0)''')} AS b2
+    FROM orders
+    """,
+    doc="Exact distinct (expand/two-phase agg in Spark) + conditional averages via exact decimal sums.",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    in_b1 = F.col("o_totalprice").between(0, 50000)
+    in_b2 = F.col("o_totalprice") > 50000
+
+    def cond_avg(cond, alias):
+        s = F.sum(F.when(cond, dec("o_totalprice"))).cast("double")
+        c = F.count(F.when(cond, F.lit(1)))
+        return round_det(s / F.nullif(c, F.lit(0))).alias(alias)
+
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("dc"),
+        cond_avg(in_b1, "b1"),
+        cond_avg(in_b2, "b2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 scalar-subquery fan (query88 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q14_scalar_fan",
+    f"""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS u,
+           (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '2-HIGH') AS h,
+           (SELECT {duck_round("SUM(CAST(o_totalprice AS DECIMAL(18,4)))")} FROM orders) AS t
+    """,
+    doc="Independent scalar aggregates combined with cross joins of 1-row frames (query88's 8-band pattern).",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    u = orders.where(F.col("o_orderpriority") == "1-URGENT").agg(F.count("*").alias("u"))
+    h = orders.where(F.col("o_orderpriority") == "2-HIGH").agg(F.count("*").alias("h"))
+    t = orders.agg(money(F.sum(dec("o_totalprice")), "t"))
+    return u.crossJoin(h).crossJoin(t)
+
+
+# ---------------------------------------------------------------------------
+# Q15 set operations (query04/query75 UNION-channel shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_union_all",
+    """
+    SELECT k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ) ORDER BY k LIMIT 100
+    """,
+    doc="UNION ALL across 'channels' + global top-k (TakeOrderedAndProject: no full sort at scale).",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    a = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = t["orders"].where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.unionByName(b).orderBy("k").limit(100)
+
+
+@register(
+    "q15b_intersect",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+    doc="INTERSECT (set semantics) — implemented as distinct + semi-join by Catalyst.",
+)
+def q15b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    a = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = t["orders"].where(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+@register(
+    "q15c_except",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT (set semantics) — distinct + anti-join.",
+)
+def q15c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    a = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = t["orders"].where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Q16 global top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q16_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    doc="ORDER BY + LIMIT → TakeOrderedAndProject: per-partition heaps, no global sort.",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Q17 scalar function surface (string/date/math)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_scalar_funcs",
+    f"""
+    SELECT o_orderkey, UPPER(SUBSTR(o_orderpriority, 1, 3)) AS p3, LENGTH(o_orderstatus) AS ls,
+           YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+           {duck_round('o_totalprice * 1.07')} AS gross, ABS(-o_orderkey) AS ak
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    doc="Whole-stage-codegen'd scalar expressions; all stay JVM-side.",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 1, 3)).alias("p3"),
+            F.length("o_orderstatus").alias("ls"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            round_det(F.col("o_totalprice") * 1.07).alias("gross"),
+            F.abs(-F.col("o_orderkey")).alias("ak"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 correlated subquery (decorrelated to agg + join)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_correlated",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc="Decorrelated form: per-customer aggregate + equi-join back — exactly what Catalyst produces for the subquery.",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_t")
+    )
+    return (
+        orders.join(per_cust, orders["o_custkey"] == per_cust["k"])
+        .where(F.col("o_totalprice") > F.col("avg_t"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 join + window + agg composition (query49/query80 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q19_composed",
+    f"""
+    WITH r AS (
+        SELECT n.n_name, o.o_orderpriority, {duck_sum2('o.o_totalprice', 't')}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, o_orderpriority, t,
+           RANK() OVER (PARTITION BY n_name ORDER BY t DESC, o_orderpriority) AS rk
+    FROM r
+    """,
+    doc="Join → aggregate → window rank; ranks computed over exact (decimal-summed) totals so both engines agree.",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("orders", "customer", "nation"))
+    r = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_orderpriority")
+        .agg(money(F.sum(dec("o_totalprice")), "t"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("t").desc(), "o_orderpriority")
+    return r.select("n_name", "o_orderpriority", "t", F.rank().over(w).alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# Q20 events: time-bucketed aggregation (batch twin of streaming S1)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_time_bucket",
+    f"""
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c, {duck_sum2('value', 'v')}
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling-hour bucketing in batch; identical grouping to streaming S1 (window start = trunc).",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("c"), money(F.sum(dec("value")), "v"))
+    )

@@ -1,0 +1,141 @@
+"""S1/S2 — Structured Streaming over the ``events`` stream.
+
+- S1: sliding window (10 min window / 5 min slide) count+sum per event_type, with a
+  15-minute watermark for late-data eviction of state;
+- S2: sessionization per user with a 30-minute inactivity gap (``session_window``).
+
+The registered queries run the *streaming* plan with ``trigger(availableNow)`` into a
+memory sink and return the result — batch-equivalent by construction on a finite input,
+which is exactly the reference-style golden check (SURVEY.md §5).  The DuckDB oracles
+restate the same window semantics in plain SQL, so the correctness gate covers the
+streaming operators too.
+
+Scale notes: watermark bounds state store size (without it, every window lives forever);
+session_window keys state by (user, session) and merges on arrival — the built-in
+implementation shuffles once on user_id.  `applyInPandasWithState` is the escape hatch
+for custom gap logic; not needed for the declared semantics.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rubix_spark.fns import round_det
+from rubix_spark.queries import register
+
+# the parquet stores TIMESTAMP(NANOS) → read as int64 nanos (session sets nanosAsLong)
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (schema pinned — streaming requires it).
+
+    The file source needs a directory, so we point at the sf_dir with a glob filter; ts is
+    int64 nanos in the fixture and µs-aligned, so DIV 1000 is a lossless conversion.
+    """
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    # TimestampType (not NTZ): watermarks require it; session tz is UTC so values align
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """S1 plan: watermark + sliding window aggregate (works on a batch DF too)."""
+    return (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("c"),
+            round_det(F.sum(F.col("value").cast("decimal(18,4)"))).alias("v"),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "c", "v")
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """S2 plan: 30-minute-gap session window per user (works on a batch DF too)."""
+    return (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_det(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_v"),
+        )
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events", "total_v")
+    )
+
+
+def _run_available_now(spark: SparkSession, result: DataFrame) -> DataFrame:
+    """Execute a streaming plan to completion into a memory sink; return the sink table."""
+    name = f"rs_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "s1_stream_sliding",
+    """
+    WITH w AS (
+        SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000
+                              - g.i * 300000000) AS ws,
+               event_type, value, ts
+        FROM events, generate_series(0, 1) g(i)
+    )
+    SELECT ws, event_type, COUNT(*) AS c,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS v
+    FROM w
+    GROUP BY ws, event_type
+    """,
+    doc=(
+        "Streaming sliding-window agg (10m/5m, 15m watermark) run via availableNow → memory "
+        "sink; oracle expands each event into its two covering windows."
+    ),
+)
+def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_available_now(spark, sliding_counts(read_events_stream(spark, sf_dir)))
+
+
+@register(
+    "s2_stream_session",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS total_v
+    FROM s GROUP BY user_id, sid
+    """,
+    doc=(
+        "Streaming sessionization (session_window, 30m gap) via availableNow → memory sink; "
+        "oracle is the classic gap-start cumulative-sum sessionizer."
+    ),
+)
+def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_available_now(spark, session_stats(read_events_stream(spark, sf_dir)))

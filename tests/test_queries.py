@@ -1,0 +1,37 @@
+"""Every registered query vs its DuckDB oracle (driver-gate mirror) at sf0.001.
+
+sf0.01 (the driver's t2 scale) is exercised by ``test_queries_sf001.py`` /
+the pre-commit run of the same comparison — same code path, bigger data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from rubix_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare
+
+REGISTRY = load_all()
+SF = os.environ.get("RUBIX_TEST_SF_DIR", SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, name):
+    q = REGISTRY[name]
+    df = q.builder(spark, SF)
+    if q.oracle is None:
+        assert df.count() >= 0  # rows-only check, mirrors the driver's weaker gate
+        return
+    problems = compare(df, q.oracle, SF)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())
