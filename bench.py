@@ -1,0 +1,73 @@
+"""Benchmark harness — mirrors the reference's perf methodology (perf/perf.go:37-70:
+N repeated runs per query, average wall-clock sec/query) on the driver's testdata.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], after one untimed JVM/code-path warmup run of the headline
+query. Prints ONE JSON line:
+
+    {"metric": "suite_avg_sec_per_query", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Env knobs: SPARK_GRAFT_BENCH_RUNS (timed runs per query, default 2),
+SPARK_GRAFT_BENCH_QUERIES (comma-separated subset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rubix_spark import get_session  # noqa: E402
+from rubix_spark.queries import load_all  # noqa: E402
+
+
+def _consume(df) -> int:
+    # count() via a cheap agg still executes the whole plan; collect only tiny results
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    registry = load_all()
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [n.strip() for n in subset.split(",")] if subset else sorted(registry)
+
+    spark = get_session(app_name="rubix-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JVM JIT, parquet footer caches, Python worker pool
+    _consume(registry["q4_star_join"].builder(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = registry[name]
+        best = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _consume(q.builder(spark, sf_dir))
+            best.append(time.perf_counter() - t0)
+        timings[name] = round(sum(best) / len(best), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "suite_avg_sec_per_query",
+        "value": round(sum(timings.values()) / len(timings), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""CacheManager: RubiX read-path semantics on Spark primitives.
+
+Reference parity map (operator ids from SURVEY.md §2.A):
+
+- ``read()``       — A2's routing (CACHED → local read, else remote ± warm-up) and A5's
+                     corruption fallback (local failure → invalidate + direct remote read,
+                     ``CachedReadRequestChain.java:204-223``)
+- ``warm()``       — A6/A10/A18-A19 read-through + async warm-up: a *distributed*
+                     ``spark.read.parquet(remote).write.parquet(local)`` copy (every
+                     executor copies its split — the Spark analog of the 10-thread
+                     remote-fetch pool, ``FileDownloader.java:194-239``), then a
+                     generation-checked manifest commit (A13)
+- staleness        — A16: remote mtime/size vs manifest ⇒ invalidate + new generation
+                     (``BookKeeper.java:295-305, 774-777``)
+- generations      — A17: monotonic per-path counter; local dirs carry ``_g<N>`` suffixes
+                     (``CacheUtil.java:162-167``); stale writers lose the manifest CAS
+- ``evict_to_budget()`` — A15: LRU by last_access down to ``budget_bytes``
+                     (weigher/maximumWeight analog, ``BookKeeper.java:629-686``)
+- skip patterns    — ``CacheUtil.skipCache`` allow/deny regexes (``CacheUtil.java:203-222``)
+- dummy mode       — A26: metadata-only what-if accounting (``DummyModeCachingInputStream``)
+- ``stats()``      — A27 metrics surface (hit/miss/eviction/invalidation counters,
+                     ``BookKeeper.java:203-246``)
+
+Cluster posture: on a real cluster the local copy lands on executor-local storage
+(per-node NVMe) and task placement follows parquet block locality; RubiX's consistent-hash
+split ownership (A12/A21) is replaced by Spark's own locality preferences, and its
+cross-node cache plane (A8/A20) by the shuffle service — documented design decisions, not
+gaps. Granularity is whole files (a Spark scan re-reads whole row groups anyway, so block
+granularity buys nothing at parquet level).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rubix_spark.cache.manifest import CACHED, WARMING, Entry, Manifest
+
+
+class CacheReadError(RuntimeError):
+    """Raised in strict mode when a cached read fails (CacheConfig.java:62 analog)."""
+
+
+def _mtime_size(path: str) -> tuple[float, int]:
+    st = os.stat(path)
+    if os.path.isdir(path):
+        total = 0
+        mt = st.st_mtime
+        for root, _, files in os.walk(path):
+            for fn in files:
+                s = os.stat(os.path.join(root, fn))
+                total += s.st_size
+                mt = max(mt, s.st_mtime)
+        return mt, total
+    return st.st_mtime, st.st_size
+
+
+class CacheManager:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cache_dir: str,
+        budget_bytes: int | None = None,
+        strict: bool = False,
+        dummy: bool = False,
+        deny_patterns: tuple[str, ...] = (),
+        allow_patterns: tuple[str, ...] = (".*",),
+    ):
+        self.spark = spark
+        self.cache_dir = cache_dir
+        self.budget_bytes = budget_bytes
+        self.strict = strict
+        self.dummy = dummy
+        self._deny = [re.compile(p) for p in deny_patterns]
+        self._allow = [re.compile(p) for p in allow_patterns]
+        os.makedirs(os.path.join(cache_dir, "fcache"), exist_ok=True)
+        self.manifest = Manifest(os.path.join(cache_dir, "manifest.json"))
+        self._lock = threading.RLock()
+        self._counters = {
+            "hits": 0,
+            "misses": 0,
+            "evictions": 0,
+            "invalidations": 0,
+            "warmed_files": 0,
+            "fallbacks": 0,
+        }
+
+    # ------------------------------------------------------------------ policy
+    def cacheable(self, remote_path: str) -> bool:
+        """Allow/deny regex gate (CacheUtil.java:203-222, 341-355)."""
+        if any(p.search(remote_path) for p in self._deny):
+            return False
+        return any(p.search(remote_path) for p in self._allow)
+
+    def _local_dir(self, remote_path: str, generation: int) -> str:
+        # <cache>/fcache/<sanitized-remote>_g<N>  (CacheUtil.java:162-167 layout)
+        sanitized = re.sub(r"[^A-Za-z0-9._-]", "_", remote_path.strip("/"))
+        return os.path.join(self.cache_dir, "fcache", f"{sanitized}_g{generation}")
+
+    # ------------------------------------------------------------------ warm path
+    def warm(self, remote_path: str) -> str | None:
+        """Materialize a remote parquet file/dir into the local cache; returns local path.
+
+        The copy itself is a distributed Spark job (each executor writes its own split),
+        mirroring the parallel FileDownloader (A19). Returns None when the path is gated
+        out by skip patterns or dummy mode.
+        """
+        if not self.cacheable(remote_path) or self.dummy:
+            return None
+        mtime, size = _mtime_size(remote_path)
+        gen = self.manifest.next_generation(remote_path)
+        local = self._local_dir(remote_path, gen)
+        (
+            self.spark.read.parquet(remote_path)
+            .write.mode("overwrite")
+            .parquet(local)
+        )
+        committed = self.manifest.put(
+            Entry(
+                remote_path=remote_path,
+                local_path=local,
+                size_bytes=size,
+                last_modified=mtime,
+                generation=gen,
+                state=CACHED,
+            )
+        )
+        if not committed:
+            # a newer generation won the race (A17): discard our copy
+            shutil.rmtree(local, ignore_errors=True)
+            return None
+        with self._lock:
+            self._counters["warmed_files"] += 1
+        self.evict_to_budget()
+        return local
+
+    # ------------------------------------------------------------------ read path
+    def read(self, remote_path: str, warm_on_miss: bool = True) -> DataFrame:
+        """RubiX's per-read routing (CachingInputStream.java:315-500, file granularity).
+
+        CACHED+fresh → local parquet; stale → invalidate, re-warm; miss → warm inline
+        (read-through, A6) or serve remote directly when warming is off / path gated.
+        """
+        entry = self.manifest.get(remote_path)
+        if entry is not None and entry.state == CACHED:
+            if self._fresh(entry, remote_path):
+                self.manifest.touch(remote_path)
+                try:
+                    df = self.spark.read.parquet(entry.local_path)
+                    with self._lock:
+                        self._counters["hits"] += 1
+                    return df
+                except Exception:
+                    # corruption fallback (CachedReadRequestChain.java:204-223)
+                    if self.strict:
+                        raise CacheReadError(f"cached read failed for {remote_path}")
+                    self.invalidate(remote_path)
+                    with self._lock:
+                        self._counters["fallbacks"] += 1
+            else:
+                self.invalidate(remote_path)
+        with self._lock:
+            self._counters["misses"] += 1
+        if warm_on_miss and self.cacheable(remote_path) and not self.dummy:
+            local = self.warm(remote_path)
+            # the budget eviction right after warm() may have evicted the fresh copy
+            # itself (tiny budgets) — serve local only if it survived in the manifest
+            if local and self.manifest.get(remote_path) is not None:
+                return self.spark.read.parquet(local)
+        return self.spark.read.parquet(remote_path)
+
+    def _fresh(self, entry: Entry, remote_path: str) -> bool:
+        """A16 staleness: compare remote lastModified/size with the cached values.
+
+        A vanished remote is NOT stale — serving deleted-behind-us data from cache is the
+        reference's signature behavior (TestCachingInputStream.java:165-177).
+        """
+        try:
+            mtime, size = _mtime_size(remote_path)
+        except FileNotFoundError:
+            return True
+        return mtime == entry.last_modified and size == entry.size_bytes
+
+    # ------------------------------------------------------------------ invalidation
+    def invalidate(self, remote_path: str) -> None:
+        """Drop the cached copy and bump the generation (BookKeeper.invalidateFileMetadata)."""
+        entry = self.manifest.remove(remote_path)
+        if entry:
+            shutil.rmtree(entry.local_path, ignore_errors=True)
+            self.manifest.next_generation(remote_path)
+            with self._lock:
+                self._counters["invalidations"] += 1
+
+    # ------------------------------------------------------------------ eviction
+    def evict_to_budget(self) -> int:
+        """LRU eviction until under budget (Guava weigher analog, BookKeeper.java:656-686)."""
+        if self.budget_bytes is None:
+            return 0
+        evicted = 0
+        with self._lock:
+            while self.manifest.total_bytes() > self.budget_bytes:
+                lru = min(self.manifest.entries(), key=lambda e: e.last_access, default=None)
+                if lru is None:
+                    break
+                self.manifest.remove(lru.remote_path)
+                shutil.rmtree(lru.local_path, ignore_errors=True)
+                evicted += 1
+                self._counters["evictions"] += 1
+        return evicted
+
+    # ------------------------------------------------------------------ metrics
+    def stats(self) -> dict:
+        """A27 metrics surface: hit/miss rates + cache size (BookKeeper.java:203-246)."""
+        with self._lock:
+            c = dict(self._counters)
+        total = c["hits"] + c["misses"]
+        c["hit_rate"] = (c["hits"] / total) if total else 0.0
+        c["cached_bytes"] = self.manifest.total_bytes()
+        c["cached_files"] = len(self.manifest.entries())
+        return c

@@ -22,6 +22,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,11 +37,29 @@ N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3
 MAX_SHINGLE_DF = 50  # inverted-index document-frequency cap (skew guard)
 
+# Universal-hash family for minhash: h_i(x) = (a_i * x + b_i) mod P over the 32-bit
+# base hash of a shingle. One md5 per shingle total; the 16 signature functions are pure
+# integer arithmetic (JVM codegen'd, no per-hash string hashing). Constants are derived
+# from md5 at import time so Spark and the DuckDB oracle embed identical literals.
+# a_i bounded < 10^6 so a_i * h < 2^52 — no 64-bit overflow in either engine.
+_P = 4294967311  # prime > 2^32
+
+
+def _const32(seed: str) -> int:
+    return int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
+
+
+_A = [(_const32(f"a{i}") % 999983) | 1 for i in range(N_HASHES)]
+_B = [_const32(f"b{i}") % _P for i in range(N_HASHES)]
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents")
+    # materialize the token array in its own projection: referencing tokens(text) inside
+    # the shingle transform lambda would re-run the regex+split per element access
+    toks = docs.select("doc_id", _tok.tokens("text").alias("toks"))
     return (
-        docs.select("doc_id", F.explode(_tok.shingles(_tok.tokens("text"), SHINGLE_K)).alias("sh"))
+        toks.select("doc_id", F.explode(_tok.shingles(F.col("toks"), SHINGLE_K)).alias("sh"))
         .distinct()
     )
 
@@ -87,67 +107,62 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def _duck_sig_cols() -> str:
+    return ",\n               ".join(
+        f"MIN(({_A[i]} * h + {_B[i]}) % {_P}) AS s{i}" for i in range(N_HASHES)
+    )
+
+
+def _duck_band_structs() -> str:
+    rpb = N_HASHES // N_BANDS
+    items = []
+    for b in range(N_BANDS):
+        key = " , ',' , ".join(f"s{b * rpb + j}" for j in range(rpb)).replace(" , ", ", ")
+        items.append(f"{{'band': {b}, 'k': concat({key})}}")
+    return "[" + ", ".join(items) + "]"
+
+
 @register(
     "x1_minhash_lsh",
     f"""
     WITH ds AS ({_DUCK_DOC_SHINGLES}),
-    dict AS (
-        SELECT sh, h.i AS hash_id, min(md5(concat(h.i, ':', sh))) AS hv
-        FROM (SELECT DISTINCT sh FROM ds) s, (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS i) h
-        GROUP BY sh, h.i
-    ),
+    dh AS (SELECT DISTINCT doc_id, {_tok.duck_hash32('sh')} AS h FROM ds),
     sig AS (
-        SELECT ds.doc_id, dict.hash_id, MIN(dict.hv) AS minh
-        FROM ds JOIN dict ON ds.sh = dict.sh
-        GROUP BY ds.doc_id, dict.hash_id
+        SELECT doc_id,
+               {_duck_sig_cols()}
+        FROM dh GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, hash_id // {N_HASHES // N_BANDS} AS band,
-               md5(string_agg(minh, ',' ORDER BY hash_id)) AS band_key
-        FROM sig GROUP BY doc_id, hash_id // {N_HASHES // N_BANDS}
+        SELECT doc_id, u['band'] AS band, u['k'] AS band_key
+        FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS u FROM sig)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                              AND a.doc_id < b.doc_id
     """,
     doc=(
-        "MinHash-LSH near-dup candidates: 16 md5-derived minhash functions, 4 bands of 4. "
-        "Signatures via distinct-shingle dictionary; candidates via band-key equi-join "
-        "(shuffle on band_key, never O(n^2))."
+        "MinHash-LSH near-dup candidates: one md5 per shingle, 16 universal-hash minhash "
+        "functions ((a*h+b) mod P — integer-only, codegen'd), 4 bands of 4; candidates via "
+        "band-key equi-join (shuffle on band_key, never O(n^2))."
     ),
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = _doc_shingles(spark, sf_dir)
-    hash_ids = spark.range(N_HASHES).select(F.col("id").cast("int").alias("hash_id"))
-    # dictionary: each distinct shingle hashed once per hash function
-    dict_df = (
-        ds.select("sh").distinct()
-        .crossJoin(F.broadcast(hash_ids))
-        .select("sh", "hash_id", F.md5(F.encode(F.concat_ws(":", F.col("hash_id"), F.col("sh")), "utf-8")).alias("hv"))
+    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
+    sig = dh.groupBy("doc_id").agg(
+        *[F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(f"s{i}") for i in range(N_HASHES)]
     )
-    sig = (
-        ds.join(dict_df, "sh")
-        .groupBy("doc_id", "hash_id")
-        .agg(F.min("hv").alias("minh"))
+    rpb = N_HASHES // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(f"s{b * rpb + j}") for j in range(rpb)]).alias("k"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    rows_per_band = N_HASHES // N_BANDS
-    bands = (
-        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.encode(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("hash_id", "minh"))),
-                            lambda x: x["minh"],
-                        ),
-                        ",",
-                    ),
-                    "utf-8",
-                )
-            ).alias("band_key")
-        )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("u")).select(
+        "doc_id", F.col("u.band").alias("band"), F.col("u.k").alias("band_key")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -229,12 +244,13 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x1_ngram_jaccard",
     f"""
     WITH ds AS ({_DUCK_DOC_SHINGLES}),
-    rare AS (SELECT sh FROM ds GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
-    dsr AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    dh AS (SELECT DISTINCT doc_id, {_tok.duck_hash32('sh')} AS h FROM ds),
+    rare AS (SELECT h FROM dh GROUP BY h HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    dsr AS (SELECT dh.* FROM dh JOIN rare USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM dsr a JOIN dsr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM dsr a JOIN dsr b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -243,19 +259,20 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
     """,
     doc=(
-        "3-gram Jaccard near-dup via inverted-index self-join; shingles with document "
-        "frequency > 50 are dropped from candidate generation (skew guard — a boilerplate "
-        "phrase shared by 1e6 docs would otherwise explode the join)."
+        "3-gram Jaccard near-dup via inverted-index self-join on *hashed* shingles (8-byte "
+        "join keys instead of strings); shingles with document frequency > 50 are dropped "
+        "from candidate generation (skew guard — a boilerplate phrase shared by 1e6 docs "
+        "would otherwise explode the join)."
     ),
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = _doc_shingles(spark, sf_dir)
-    rare = ds.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") <= MAX_SHINGLE_DF).select("sh")
-    dsr = ds.join(rare, "sh")
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
+    rare = dh.groupBy("h").agg(F.count("*").alias("df")).where(F.col("df") <= MAX_SHINGLE_DF).select("h")
+    dsr = dh.join(rare, "h")
+    sizes = dh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = dsr.alias("a"), dsr.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )

@@ -147,16 +147,17 @@ _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 )
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents")
-    toks = _tok.tokens("text")
-    n_tok = F.size(toks)
+    with_toks = docs.select("source", "text", _tok.tokens("text").alias("toks"))
+    n_tok = F.size(F.col("toks"))
     stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / F.nullif(n_tok, F.lit(0))
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.nullif(n_tok, F.lit(0))
     )
     punct_ratio = (
         (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))).cast("double")
         / F.length("text")
     )
-    per_doc = docs.select(
+    per_doc = with_toks.select(
         "source", n_tok.alias("n_tok"), stop_ratio.alias("stop_ratio"), punct_ratio.alias("punct_ratio")
     )
     return per_doc.groupBy("source").agg(
@@ -181,8 +182,11 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents")
+    # tokens materialized in their own projection — inlining them into the shingle
+    # transform lambda would re-run the regex per element access
+    toks = docs.select("doc_id", _tok.tokens("text").alias("toks"))
     return (
-        docs.select("doc_id", F.explode(_tok.shingles(_tok.tokens("text"), 3)).alias("sh"))
+        toks.select("doc_id", F.explode(_tok.shingles(F.col("toks"), 3)).alias("sh"))
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.encode(F.col("sh"), "utf-8"))).alias("fp"))
     )
