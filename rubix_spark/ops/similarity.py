@@ -225,3 +225,50 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN join (many query vectors at once)
+# ---------------------------------------------------------------------------
+N_QUERIES = 4
+KNN_K = 3
+
+
+@register(
+    "x2_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, v.vec_id,
+               {_duck_cos('v.embedding', 'q.qe')} AS s
+        FROM embeddings v, q
+        WHERE v.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, FLOOR(s * 10000 + 0.5) / 10000.0 AS sim FROM (
+        SELECT qid, vec_id, s,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {KNN_K}
+    """,
+    doc=(
+        "kNN join: top-3 neighbors for each of 4 query vectors in one pass — queries "
+        "broadcast against the corpus scan, per-query ranking via window (at scale: "
+        "per-partition top-k combine instead of a global window sort)."
+    ),
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("s"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("qid", "vec_id", round_det(F.col("s"), 4).alias("sim"))
+    )

@@ -79,3 +79,33 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") < 20)
         .select("doc_id", F.posexplode(_tok.tokens("text")).alias("pos", "tok"))
     )
+
+
+def _topk_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: rank events per user by value (desc, event_id asc), keep top 2."""
+    out = pdf.sort_values(["value", "event_id"], ascending=[False, True]).head(2).copy()
+    out["rk"] = range(1, len(out) + 1)
+    return out[["user_id", "event_id", "value", "rk"]]
+
+
+@register(
+    "x4_udf_grouped_map",
+    """
+    SELECT user_id, event_id, value, rk FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 2
+    """,
+    doc=(
+        "Grouped-map pandas UDF (applyInPandas): per-user top-2 by value — each group "
+        "arrives as one Arrow-backed pandas frame; integer ranks keep the oracle exact."
+    ),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_topk_per_group, schema="user_id bigint, event_id bigint, value double, rk int")
+    )

@@ -39,11 +39,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: registry population) and return the registry."""
     import rubix_spark.queries.relational  # noqa: F401
+    import rubix_spark.queries.extended  # noqa: F401
     import rubix_spark.ops.dedup  # noqa: F401
     import rubix_spark.ops.similarity  # noqa: F401
     import rubix_spark.ops.text  # noqa: F401
     import rubix_spark.ops.udf  # noqa: F401
     import rubix_spark.ops.multimodal  # noqa: F401
+    import rubix_spark.ops.asof  # noqa: F401
     import rubix_spark.streaming.events  # noqa: F401
+    import rubix_spark.cache.queries  # noqa: F401
 
     return REGISTRY

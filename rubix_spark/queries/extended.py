@@ -1,0 +1,135 @@
+"""Extended relational coverage beyond the core Q1..Q20 inventory.
+
+Fills surface gaps a reference user would expect: the ``part`` dimension, semi-structured
+JSON in ``events.props``, a date-dimension rollup, and approximate distinct counting
+(HyperLogLog — the scale path for COUNT(DISTINCT) at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rubix_spark import catalog
+from rubix_spark.fns import dec, duck_sum2, money
+from rubix_spark.queries import register
+
+
+@register(
+    "q21_part_join",
+    f"""
+    SELECT p.p_brand, COUNT(*) AS cnt, {duck_sum2('l.l_extendedprice', 'rev')},
+           MAX(p.p_retailprice) AS max_retail
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Fact⋈part-dimension rollup (TPC-H Q14 shape); part broadcasts, lineitem never re-shuffles.",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load(spark, sf_dir, ("lineitem", "part"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("cnt"),
+            money(F.sum(dec("l_extendedprice")), "rev"),
+            F.max("p_retailprice").alias("max_retail"),
+        )
+    )
+
+
+@register(
+    "q22_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS c
+    FROM events GROUP BY 1
+    """,
+    doc="Semi-structured path: JSON field extraction from events.props (JVM-side get_json_object, no UDF).",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.select((F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@register(
+    "q23_date_rollup",
+    f"""
+    SELECT YEAR(o_orderdate) AS y, QUARTER(o_orderdate) AS q, COUNT(*) AS cnt,
+           {duck_sum2('o_totalprice', 'total')}
+    FROM orders GROUP BY ROLLUP(YEAR(o_orderdate), QUARTER(o_orderdate))
+    """,
+    doc="Date-dimension ROLLUP (year → quarter → grand total) — the query27/80 hierarchy on time.",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.year("o_orderdate").alias("y"), F.quarter("o_orderdate").alias("q"), "o_totalprice")
+        .rollup("y", "q")
+        .agg(F.count("*").alias("cnt"), money(F.sum(dec("o_totalprice")), "total"))
+    )
+
+
+@register(
+    "x6_approx_distinct",
+    None,  # approximate by design: HLL estimates differ across engines → rows-only gate
+    doc=(
+        "approx_count_distinct (HyperLogLog++): the 100 TB path for distinct counting — "
+        "constant memory, mergeable partials, no expand. Exact countDistinct alongside for "
+        "reference; rows-only check because HLL estimates are engine-specific."
+    ),
+)
+def x6_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_dc"),
+        F.countDistinct("o_custkey").alias("exact_dc"),
+    )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+_PIVOT_ORACLE_COLS = ",\n           ".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES
+)
+
+
+@register(
+    "x8_pivot",
+    f"""
+    SELECT date_trunc('hour', ts) AS h,
+           {_PIVOT_ORACLE_COLS}
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Pivot: hour × event_type count matrix via groupBy().pivot() with an explicit "
+        "value list (explicit values keep the schema stable and skip the distinct-scan "
+        "a dynamic pivot needs)."
+    ),
+)
+def x8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "x8_unpivot",
+    """
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Unpivot (wide → long via DataFrame.unpivot/stack): inverse of x8_pivot, zero cells dropped.",
+)
+def x8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = x8_pivot(spark, sf_dir)
+    long = wide.unpivot("h", list(_EVENT_TYPES), "event_type", "c")
+    return long.where(F.col("c") > 0)

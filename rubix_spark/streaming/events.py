@@ -139,3 +139,26 @@ def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(spark, session_stats(read_events_stream(spark, sf_dir)))
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """S3 plan: streaming exact dedup on event_id within the watermark horizon."""
+    return (
+        events.withWatermark("ts", "15 minutes")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+@register(
+    "s3_stream_dedup",
+    "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+    doc=(
+        "Streaming exact dedup (dropDuplicates keyed on event_id, watermark-bounded "
+        "state) — the streaming twin of X1 exact dedup; count of survivors equals the "
+        "batch COUNT(DISTINCT)."
+    ),
+)
+def s3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_available_now(spark, dedup_stream(read_events_stream(spark, sf_dir)))

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale properties the engine is designed around.
+
+A query can be correct and still wrong at 100 TB — these tests pin the plan shapes that
+keep it fast: parquet pushdown/pruning, broadcast dimension joins, top-k without global
+sort, window-group-limit pushdown, Arrow (not pickle) Python evaluation.
+"""
+
+from __future__ import annotations
+
+from rubix_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+REG = load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = REG[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """Q1's parquet scan must carry the predicates and read only the referenced columns."""
+    plan = _plan(spark, "q1_scan_filter")
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    # pruned: 5 columns (3 projected + 2 filter), not all 11
+    assert "l_orderkey" in scan and "l_tax" not in scan
+    assert "l_shipdate" in plan and "PushedFilters" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """Q4: dimension joins must be broadcast-hash, never nested-loop."""
+    plan = _plan(spark, "q4_star_join")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    """Q16: ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition heaps)."""
+    assert "TakeOrderedAndProject" in _plan(spark, "q16_topk")
+
+
+def test_rank_filter_pushes_into_window(spark):
+    """Q10: rk <= 3 must become a WindowGroupLimit (per-partition top-k before the sort)."""
+    assert "WindowGroupLimit" in _plan(spark, "q10_window_rank")
+
+
+def test_python_udfs_run_on_arrow(spark):
+    """X4: pandas UDFs must evaluate via Arrow batches, not pickled rows."""
+    assert "ArrowEvalPython" in _plan(spark, "x4_udf_scalar")
+    assert "FlatMapGroupsInPandas" in _plan(spark, "x4_udf_grouped_map")
+
+
+def test_minhash_has_no_cross_join(spark):
+    """X1 LSH candidate generation must be an equi-join on band keys, never O(n^2)."""
+    plan = _plan(spark, "x1_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_and_anti_joins(spark):
+    assert "LeftSemi" in _plan(spark, "q7_semi_join")
+    assert "LeftAnti" in _plan(spark, "q8_anti_join")
