@@ -68,6 +68,7 @@ class CacheManager:
         budget_bytes: int | None = None,
         strict: bool = False,
         dummy: bool = False,
+        async_warmup: bool = False,
         deny_patterns: tuple[str, ...] = (),
         allow_patterns: tuple[str, ...] = (".*",),
     ):
@@ -76,6 +77,15 @@ class CacheManager:
         self.budget_bytes = budget_bytes
         self.strict = strict
         self.dummy = dummy
+        # async read-through: cold reads serve remote immediately and warm in the
+        # background (the reference's default, rubix.cache.parallel.warmup=true,
+        # CacheConfig.java:157); sync mode warms inline (A6)
+        self.async_warmup = async_warmup
+        self._warmup = None
+        if async_warmup:
+            from rubix_spark.cache.warmup import WarmupProcessor
+
+            self._warmup = WarmupProcessor(self)
         self._deny = [re.compile(p) for p in deny_patterns]
         self._allow = [re.compile(p) for p in allow_patterns]
         os.makedirs(os.path.join(cache_dir, "fcache"), exist_ok=True)
@@ -167,6 +177,10 @@ class CacheManager:
         with self._lock:
             self._counters["misses"] += 1
         if warm_on_miss and self.cacheable(remote_path) and not self.dummy:
+            if self._warmup is not None:
+                # A10 parallel warm-up: serve the caller from remote NOW, warm behind
+                self._warmup.enqueue(remote_path)
+                return self.spark.read.parquet(remote_path)
             local = self.warm(remote_path)
             # the budget eviction right after warm() may have evicted the fresh copy
             # itself (tiny budgets) — serve local only if it survived in the manifest
@@ -212,6 +226,31 @@ class CacheManager:
                 evicted += 1
                 self._counters["evictions"] += 1
         return evicted
+
+    # ------------------------------------------------------------------ validation
+    def drain_warmup(self, timeout: float = 60.0) -> bool:
+        """Block until queued background warm-ups finish (test/shutdown hook)."""
+        return self._warmup.drain(timeout) if self._warmup else True
+
+    def validate(self, repair: bool = True) -> dict:
+        """Self-test sweep — A25 (CachingValidator / FileValidator analog).
+
+        Checks every manifest entry's local copy exists and is readable metadata-wise;
+        broken entries are invalidated (repair=True) so the next read falls back to
+        remote and re-warms. Returns {checked, broken, repaired}.
+        """
+        checked = broken = repaired = 0
+        for entry in self.manifest.entries():
+            checked += 1
+            ok = os.path.isdir(entry.local_path) and any(
+                f.endswith(".parquet") for f in os.listdir(entry.local_path)
+            )
+            if not ok:
+                broken += 1
+                if repair:
+                    self.invalidate(entry.remote_path)
+                    repaired += 1
+        return {"checked": checked, "broken": broken, "repaired": repaired}
 
     # ------------------------------------------------------------------ metrics
     def stats(self) -> dict:

@@ -74,13 +74,13 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def _run_available_now(spark: SparkSession, result: DataFrame) -> DataFrame:
+def _run_available_now(spark: SparkSession, result: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming plan to completion into a memory sink; return the sink table."""
     name = f"rs_{uuid.uuid4().hex[:12]}"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,142 @@
+"""S4 — custom stateful sessionization via ``applyInPandasWithState``.
+
+``session_window`` (S2) covers fixed-gap sessions; this operator shows the escape hatch
+for *custom* state logic the built-in can't express: an arbitrary Python reducer over
+each key's event stream with explicit persistent state (SURVEY.md §7 Phase 4 risk note).
+
+The sessionizer reproduces S2's exact semantics (30-minute inactivity gap) so the DuckDB
+oracle can verify the custom-state path bit-for-bit.  State carries the open session
+(start, last_ts, count, exact value sum in integer 1e-4 units — floats in state would
+re-introduce summation-order drift) across micro-batches; closed sessions emit
+immediately, and the final open session emits once the input is exhausted (the
+``availableNow`` run delivers each key's full history, so every session closes in-batch;
+a continuous deployment would arm an event-time timeout for the tail session instead).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from rubix_spark.queries import register
+from rubix_spark.streaming.events import _run_available_now, read_events_stream
+
+GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+# state: open-session (start_us, last_us, n_events, value_sum_e4)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("v_e4", LongType()),
+    ]
+)
+
+_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, n_events bigint, total_v double"
+)
+
+
+def _sessionize(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    if state.exists:
+        start_us, last_us, n, v_e4 = state.get
+        open_sess = [start_us, last_us, n, v_e4]
+    else:
+        open_sess = None
+
+    closed: list[list[int]] = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        # exact decimal(18,4)-style integer accumulation, matching fns.dec() sums
+        v_e4s = [round(v * 10000) for v in pdf["value"].tolist()]
+        for t, v in zip(ts_us, v_e4s):
+            if open_sess is None:
+                open_sess = [t, t, 1, v]
+            elif t - open_sess[1] >= GAP_US:
+                closed.append(open_sess)
+                open_sess = [t, t, 1, v]
+            else:
+                open_sess[1] = t
+                open_sess[2] += 1
+                open_sess[3] += v
+    # input exhausted for this batch: persist the open session for the next batch;
+    # under availableNow each key sees its whole history, so emit the tail too
+    if open_sess is not None:
+        state.update(tuple(open_sess))
+        closed.append(open_sess)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
+                "n_events": [s[2] for s in closed],
+                # v_e4/10000 then floor-round: identical to round_det(sum(dec(value)))
+                "total_v": [
+                    float(int(s[3] // 100 + (1 if s[3] % 100 >= 50 else 0)) / 100.0)
+                    for s in closed
+                ],
+            }
+        )
+
+
+def stateful_sessions(events: DataFrame) -> DataFrame:
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "s4_stateful_session",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS total_v
+    FROM s GROUP BY user_id, sid
+    """,
+    doc=(
+        "Custom stateful sessionizer (applyInPandasWithState, explicit GroupState, exact "
+        "integer value accumulation) reproducing the 30-min-gap semantics — the custom-"
+        "state escape hatch, oracle-verified against the SQL sessionizer."
+    ),
+)
+def s4_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_available_now(spark, stateful_sessions(read_events_stream(spark, sf_dir)), mode="append")
