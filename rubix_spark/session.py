@@ -55,6 +55,8 @@ def get_session(
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
         # read as int64 nanos and convert in the catalog (all fixture values are µs-aligned)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed tables (bucketing tests/demos) live outside the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get("RUBIX_WAREHOUSE_DIR", "/tmp/rubix_spark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
