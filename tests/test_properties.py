@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism layer.
+
+These don't need Spark: they check that the *model* of our deterministic primitives
+(floor-rounding, decimal sums, universal minhash) agrees with DuckDB's evaluation of the
+same SQL text over arbitrary inputs — the foundation the oracle gate rests on.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+def _duck(vals_sql: str, expr: str):
+    con = duckdb.connect()
+    return con.execute(f"SELECT {expr} FROM (VALUES {vals_sql}) t(x)").fetchall()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=20))
+def test_floor_round_matches_python_model(xs):
+    """floor(x*100+0.5)/100 in DuckDB == the same IEEE ops in Python, for any double."""
+    vals = ", ".join(f"({x!r})" for x in xs)
+    got = _duck(vals, "FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) / 100.0")
+    for (g,), x in zip(got, xs):
+        expected = math.floor(x * 100 + 0.5) / 100.0
+        assert g == expected or (math.isnan(g) and math.isnan(expected)), (x, g, expected)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9), min_size=2, max_size=50))
+def test_decimal_sum_is_permutation_invariant(xs):
+    """SUM(CAST(x AS DECIMAL(18,4))) must not depend on row order (the property double
+    sums lack and the reason every money aggregate casts first)."""
+    fwd = ", ".join(f"({x!r})" for x in xs)
+    rev = ", ".join(f"({x!r})" for x in reversed(xs))
+    a = _duck(fwd, "SUM(CAST(x AS DECIMAL(18,4)))")[0][0]
+    b = _duck(rev, "SUM(CAST(x AS DECIMAL(18,4)))")[0][0]
+    assert a == b
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_minhash_universal_hash_in_range(h):
+    """(a*h+b) mod P stays within [0, P) and never overflows int64 for our constants."""
+    from rubix_spark.ops.dedup import _A, _B, _P
+
+    for a, b in zip(_A, _B):
+        assert a * h + b < 2**63  # no 64-bit overflow in either engine
+        assert 0 <= (a * h + b) % _P < _P
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA), max_size=80))
+def test_tokenizer_parity_duckdb_vs_python_model(text):
+    """The shared tokenizer (lower → strip non-[a-z0-9 ] → split) produces the same
+    tokens in DuckDB as the reference Python model, for arbitrary unicode input."""
+    import re
+
+    from rubix_spark.ops._tok import duck_tokens
+
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {duck_tokens('?')}", [text]).fetchone()[0]
+    model = [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split(" ") if t != ""]
+    assert got == model
