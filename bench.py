@@ -68,6 +68,21 @@ def main() -> None:
             best.append(time.perf_counter() - t0)
         timings[name] = round(sum(best) / len(best), 4)
 
+    # reference methodology (perf/perf.go:37-70): N concurrent identical runs of the
+    # headline query, report avg wall-clock — exercises the scheduler under contention
+    import concurrent.futures as cf
+
+    n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
+    head = registry["q4_star_join"]
+
+    def one_run(_):
+        t0 = time.perf_counter()
+        _consume(head.builder(spark, sf_dir))
+        return time.perf_counter() - t0
+
+    with cf.ThreadPoolExecutor(max_workers=n_conc) as ex:
+        conc_times = list(ex.map(one_run, range(n_conc)))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -79,6 +94,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "concurrent": {
+            "query": "q4_star_join",
+            "n": n_conc,
+            "avg_sec": round(sum(conc_times) / len(conc_times), 4),
+            "max_sec": round(max(conc_times), 4),
+        },
     }
     print(json.dumps(out))
     spark.stop()

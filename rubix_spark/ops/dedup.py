@@ -273,7 +273,15 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
+    # dh feeds three consumers (df-cap filter, per-doc sizes, the self-join) — persist the
+    # hashed-shingle table (16 B/row) so the tokenize→shingle→md5 pipeline runs once.
+    # At 100 TB this is the materialized inverted index you'd write to parquet anyway.
+    dh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", _tok.hash32(F.col("sh")).alias("h"))
+        .distinct()
+        .persist()
+    )
     rare = dh.groupBy("h").agg(F.count("*").alias("df")).where(F.col("df") <= MAX_SHINGLE_DF).select("h")
     dsr = dh.join(rare, "h")
     sizes = dh.groupBy("doc_id").agg(F.count("*").alias("n"))
