@@ -1,0 +1,192 @@
+"""X9 — training-data pipeline operators over ``documents``.
+
+The ops an LLM data pipeline runs between raw corpus and training shards, all expressed
+as JVM-side expressions (no Python in the hot path) and all DuckDB-oracle-checked:
+
+- ``x9_chunk``          — fixed-size token-window chunking with stride (sequence packing
+                          prep); emits per-chunk token counts + content hash, not text
+- ``x9_repetition``     — Gopher-style quality signal: fraction of duplicated 3-grams
+- ``x9_sample_strata``  — deterministic hash sampling (md5-bucket, not rand()) reported
+                          per language stratum
+- ``x9_train_test``     — stable train/test split by content-independent key hash
+- ``x9_contamination``  — benchmark-phrase screen: inverted-index join of doc shingles
+                          against a blocklist (the eval-contamination check)
+- ``x9_token_hist``     — token-count histogram (bucket width 25)
+
+Scale notes: chunking is a per-row explode (linear, no shuffle); repetition/histogram
+aggregate per doc then census (partial agg); sampling/splitting are stateless row
+filters — *hash-based, so re-runs and backfills select identical rows*, which rand()
+cannot guarantee; contamination joins shingles against a broadcast blocklist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rubix_spark import catalog
+from rubix_spark.fns import round_det
+from rubix_spark.ops import _tok
+from rubix_spark.queries import register
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+HIST_WIDTH = 25
+
+# 3-gram phrases screened as "benchmark contamination" (drawn from the fixture vocab so
+# the screen actually fires on synthetic data)
+BLOCKLIST = ("data spark sql", "hash join table", "query scan filter")
+
+
+def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "source", "n_chars", _tok.tokens("text").alias("toks"))
+
+
+@register(
+    "x9_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, {_tok.duck_tokens('text')} AS toks FROM documents WHERE doc_id < 100),
+    ids AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT), 0))) AS chunk_id
+        FROM t WHERE len(toks) > 0
+    ),
+    c AS (
+        SELECT doc_id, chunk_id,
+               array_to_string(list_slice(toks, (chunk_id * {CHUNK_STRIDE}) + 1,
+                                          (chunk_id * {CHUNK_STRIDE}) + {CHUNK_TOKENS}), ' ') AS chunk
+        FROM ids
+    )
+    SELECT doc_id, chunk_id, len(string_split(chunk, ' ')) AS chunk_tokens, md5(chunk) AS chunk_md5
+    FROM c WHERE chunk <> ''
+    """,
+    doc=(
+        "Token-window chunking (50-token windows, stride 40) for sequence packing; "
+        "per-row explode, no shuffle. Emits token counts + md5 per chunk (content stays "
+        "distributed; only fingerprints surface)."
+    ),
+)
+def x9_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks_df(spark, sf_dir).where(F.col("doc_id") < 100).select("doc_id", "toks")
+    n_chunks = F.greatest(
+        F.ceil((F.size("toks") - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))).cast("int"),
+        F.lit(0),
+    )
+    chunks = t.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+        "toks",
+    )
+    chunk = F.array_join(F.slice("toks", F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " ")
+    return (
+        chunks.select("doc_id", "chunk_id", chunk.alias("chunk"))
+        .where(F.col("chunk") != "")
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.split("chunk", " ")).alias("chunk_tokens"),
+            F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
+    "x9_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_tok.duck_shingles(_tok.duck_tokens('text'), 3)} AS sh FROM documents)
+    SELECT doc_id,
+           FLOOR((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) * 10000 + 0.5) / 10000.0
+               AS dup3_ratio
+    FROM t WHERE len(sh) > 0
+    """,
+    doc=(
+        "Gopher-style repetition quality signal: fraction of duplicate 3-grams per doc "
+        "(1 - distinct/total). Pure array expressions, zero shuffle."
+    ),
+)
+def x9_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks_df(spark, sf_dir).select("doc_id", _tok.shingles(F.col("toks"), 3).alias("sh"))
+    ratio = F.lit(1.0) - F.size(F.array_distinct("sh")).cast("double") / F.size("sh")
+    return t.where(F.size("sh") > 0).select("doc_id", round_det(ratio, 4).alias("dup3_ratio"))
+
+
+@register(
+    "x9_sample_strata",
+    f"""
+    SELECT lang, COUNT(*) AS total,
+           COUNT(CASE WHEN {_tok.duck_hash32("concat('sample:', doc_id)")} % 100 < 10 THEN 1 END) AS sampled
+    FROM documents GROUP BY lang
+    """,
+    doc=(
+        "Deterministic 10% hash sample reported per language stratum. Hash-bucket "
+        "selection (md5(key) % 100) instead of rand(): re-runs, backfills and other "
+        "engines select the identical rows."
+    ),
+)
+def x9_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    in_sample = _tok.hash32(F.concat(F.lit("sample:"), F.col("doc_id"))) % 100 < 10
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("total"),
+        F.count(F.when(in_sample, 1)).alias("sampled"),
+    )
+
+
+@register(
+    "x9_train_test",
+    f"""
+    SELECT CASE WHEN {_tok.duck_hash32("concat('split:', doc_id)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS docs, SUM(n_chars) AS chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Stable 90/10 train/test assignment by key hash — content edits never move a doc across the split.",
+)
+def x9_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    split = F.when(
+        _tok.hash32(F.concat(F.lit("split:"), F.col("doc_id"))) % 100 < 90, "train"
+    ).otherwise("test")
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+_BLOCK_IN = ", ".join(f"'{p}'" for p in BLOCKLIST)
+
+
+@register(
+    "x9_contamination",
+    f"""
+    SELECT DISTINCT doc_id, sh AS phrase
+    FROM (SELECT doc_id, unnest({_tok.duck_shingles(_tok.duck_tokens('text'), 3)}) AS sh FROM documents)
+    WHERE sh IN ({_BLOCK_IN})
+    """,
+    doc=(
+        "Eval-contamination screen: doc 3-shingles joined against a benchmark-phrase "
+        "blocklist (broadcast at scale; here an IN filter). Flags (doc, phrase) pairs."
+    ),
+)
+def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks_df(spark, sf_dir).select("doc_id", F.explode(_tok.shingles(F.col("toks"), 3)).alias("sh"))
+    return (
+        t.where(F.col("sh").isin(*BLOCKLIST))
+        .select("doc_id", F.col("sh").alias("phrase"))
+        .distinct()
+    )
+
+
+@register(
+    "x9_token_hist",
+    f"""
+    SELECT (len({_tok.duck_tokens('text')}) // {HIST_WIDTH}) * {HIST_WIDTH} AS bucket,
+           COUNT(*) AS docs
+    FROM documents GROUP BY 1
+    """,
+    doc="Token-count histogram (width 25) — the length-distribution report every corpus build starts with.",
+)
+def x9_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _toks_df(spark, sf_dir)
+    bucket = (F.size("toks") / HIST_WIDTH).cast("int") * HIST_WIDTH
+    return t.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("docs"))

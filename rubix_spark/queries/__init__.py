@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
     import rubix_spark.ops.udf  # noqa: F401
     import rubix_spark.ops.multimodal  # noqa: F401
     import rubix_spark.ops.asof  # noqa: F401
+    import rubix_spark.ops.pipeline  # noqa: F401
     import rubix_spark.streaming.events  # noqa: F401
     import rubix_spark.streaming.stateful  # noqa: F401
     import rubix_spark.cache.queries  # noqa: F401
