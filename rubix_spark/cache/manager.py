@@ -66,6 +66,7 @@ class CacheManager:
         spark: SparkSession,
         cache_dir: str,
         budget_bytes: int | None = None,
+        ttl_seconds: float | None = None,
         strict: bool = False,
         dummy: bool = False,
         async_warmup: bool = False,
@@ -75,6 +76,9 @@ class CacheManager:
         self.spark = spark
         self.cache_dir = cache_dir
         self.budget_bytes = budget_bytes
+        # TTL expiry — the Guava expireAfterWrite analog (BookKeeper.java:674-680);
+        # entries older than ttl_seconds are invalidated on next access
+        self.ttl_seconds = ttl_seconds
         self.strict = strict
         self.dummy = dummy
         # async read-through: cold reads serve remote immediately and warm in the
@@ -157,6 +161,10 @@ class CacheManager:
         (read-through, A6) or serve remote directly when warming is off / path gated.
         """
         entry = self.manifest.get(remote_path)
+        if entry is not None and entry.state == CACHED:
+            if self.ttl_seconds is not None and time.time() - entry.last_access > self.ttl_seconds:
+                self.invalidate(remote_path)
+                entry = None
         if entry is not None and entry.state == CACHED:
             if self._fresh(entry, remote_path):
                 self.manifest.touch(remote_path)

@@ -100,3 +100,18 @@ def test_stress_loop_bounded_cache(spark, remote_dir, tmp_path):
     s = cm.stats()
     assert s["evictions"] >= 1
     assert cm.manifest.total_bytes() <= budget
+
+
+def test_ttl_expiry(spark, remote_dir, tmp_path):
+    """expireAfterWrite analog (BookKeeper.java:674-680): entries past TTL are
+    invalidated on access and transparently re-warmed."""
+    import time as _time
+
+    cm = CacheManager(spark, str(tmp_path / "cache"), ttl_seconds=0.5)
+    path = f"{remote_dir}/nation.parquet"
+    first = _rows(cm.read(path))
+    _time.sleep(0.7)
+    second = _rows(cm.read(path))
+    assert first == second
+    s = cm.stats()
+    assert s["invalidations"] == 1 and s["warmed_files"] == 2 and s["hits"] == 0
