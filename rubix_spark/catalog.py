@@ -28,13 +28,26 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make an arbitrary caller-provided session able to read the fixtures correctly.
+
+    The driver harness supplies its own SparkSession, so the configs our builder sets
+    (session.py) may be absent — both of these are runtime-settable SQL confs:
+    - nanosAsLong: events.ts is TIMESTAMP(NANOS) parquet, which Spark otherwise rejects;
+    - UTC session timezone: timestamp outputs must agree with the tz-naive oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as int64 nanos under
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py); convert to a timestamp
-    here (fixture nanos are µs-aligned, so the DIV 1000 is lossless).
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, read as int64 nanos (see
+    ``ensure_session_confs``) and converted here — fixture nanos are µs-aligned, so the
+    DIV 1000 is lossless.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))

@@ -38,6 +38,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source needs a directory, so we point at the sf_dir with a glob filter; ts is
     int64 nanos in the fixture and µs-aligned, so DIV 1000 is a lossless conversion.
     """
+    from rubix_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .format("parquet")
