@@ -106,9 +106,18 @@ def x9_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def x9_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _toks_df(spark, sf_dir).select("doc_id", _tok.shingles(F.col("toks"), 3).alias("sh"))
-    ratio = F.lit(1.0) - F.size(F.array_distinct("sh")).cast("double") / F.size("sh")
-    return t.where(F.size("sh") > 0).select("doc_id", round_det(ratio, 4).alias("dup3_ratio"))
+    # explode + aggregate instead of array expressions: referencing the shingle array in
+    # several expressions lets projection collapse inline the tokenizer into each
+    # element access (measured 27s -> 0.6s at sf0.1); the generator form keeps the
+    # pipeline linear and partial-aggregates per doc
+    t = _toks_df(spark, sf_dir).select(
+        "doc_id", F.explode(_tok.shingles(F.col("toks"), 3)).alias("sh")
+    )
+    per_doc = t.groupBy("doc_id").agg(
+        F.count("*").alias("total"), F.countDistinct("sh").alias("dist")
+    )
+    ratio = F.lit(1.0) - F.col("dist").cast("double") / F.col("total")
+    return per_doc.select("doc_id", round_det(ratio, 4).alias("dup3_ratio"))
 
 
 @register(
