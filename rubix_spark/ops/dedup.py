@@ -370,3 +370,43 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("s") >= 0.4).select("vec_a", "vec_b", round_det(F.col("s"), 4).alias("sim"))
+
+
+def _neardup_block(pdf):
+    """Per-block numpy kernel: normalize rows, one matmul, emit pairs over threshold."""
+    import numpy as np
+    import pandas as pd
+
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.where(norms == 0, 1.0, norms)
+    sims = m @ m.T
+    ids = pdf["vec_id"].to_numpy()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    mask = sims[ii, jj] >= 0.4
+    # rows arrive in arbitrary partition order — canonicalize each pair as (lo, hi)
+    a, b = ids[ii[mask]], ids[jj[mask]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame(
+        {"vec_a": lo, "vec_b": hi, "sim": np.floor(sims[ii, jj][mask] * 10000 + 0.5) / 10000.0}
+    )
+
+
+@register(
+    "x1_embedding_neardup_np",
+    None,  # rows-only: BLAS matmul sums in SIMD order — last-ulp diff vs the sequential oracle
+    doc=(
+        "Vectorized scale path for embedding near-dup: per-block numpy matmul inside "
+        "applyInPandas (one Arrow batch per block, BLAS O(n²d) in C) — ~10-100× the "
+        "interpreted higher-order-function fold. Rows-only gate because BLAS summation "
+        "order differs from the sequential oracle in the last ulp; the HOF variant "
+        "(x1_embedding_neardup) carries the exact-match proof."
+    ),
+)
+def embedding_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_neardup_block, schema="vec_a bigint, vec_b bigint, sim double")
+    )

@@ -133,3 +133,28 @@ def x8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = x8_pivot(spark, sf_dir)
     long = wide.unpivot("h", list(_EVENT_TYPES), "event_type", "c")
     return long.where(F.col("c") > 0)
+
+
+@register(
+    "q24_quantiles",
+    """
+    SELECT o_orderpriority,
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100.0 AS p50,
+           FLOOR(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100.0 AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Exact interpolated quantiles per group (percentile == quantile_cont semantics "
+        "in both engines; interpolation is a single IEEE op, no summation). The 100 TB "
+        "path is approx_percentile (t-digest sketches, mergeable partials) — exact "
+        "percentile sorts each group."
+    ),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import round_det
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        round_det(F.percentile("o_totalprice", 0.5)).alias("p50"),
+        round_det(F.percentile("o_totalprice", 0.9)).alias("p90"),
+    )

@@ -35,3 +35,11 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_neardup_np_agrees_with_exact_variant(spark):
+    """The BLAS-vectorized near-dup (rows-only gate) must select the same pairs as the
+    oracle-checked sequential variant — only the last-ulp sims may differ."""
+    hof = {(r.vec_a, r.vec_b) for r in REGISTRY["x1_embedding_neardup"].builder(spark, SF).collect()}
+    npv = {(r.vec_a, r.vec_b) for r in REGISTRY["x1_embedding_neardup_np"].builder(spark, SF).collect()}
+    assert hof == npv
