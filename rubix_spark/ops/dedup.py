@@ -410,3 +410,81 @@ def embedding_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .applyInPandas(_neardup_block, schema="vec_a bigint, vec_b bigint, sim double")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the LSH candidate graph
+# ---------------------------------------------------------------------------
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Min-label-propagation connected components over an undirected edge list.
+
+    Returns (doc_id, component) where component = min node id in the component.
+    Iterative DataFrame algorithm (the driver only checks convergence counts — the data
+    never leaves the cluster); each round is one join + aggregate, and the number of
+    rounds is bounded by the graph diameter. This is the large-graph-safe pattern —
+    hash-min CC is how GraphFrames/GraphX implement it too.
+    """
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    )
+    labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+@register(
+    "x1_dedup_components",
+    f"""
+    WITH RECURSIVE ds AS ({_DUCK_DOC_SHINGLES}),
+    dh AS (SELECT DISTINCT doc_id, {_tok.duck_hash32('sh')} AS h FROM ds),
+    sig AS (
+        SELECT doc_id,
+               {_duck_sig_cols()}
+        FROM dh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, u['band'] AS band, u['k'] AS band_key
+        FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS u FROM sig)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                                 AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+    )
+    SELECT doc_id, MIN(label) AS component FROM walk GROUP BY doc_id
+    """,
+    doc=(
+        "Near-dup clustering: connected components over the MinHash-LSH candidate graph "
+        "(min-label propagation, iterative joins — the step that turns pairwise matches "
+        "into dedup groups with one survivor each). Oracle restates it as a recursive-CTE "
+        "transitive closure."
+    ),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b")
