@@ -426,17 +426,23 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
     """
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
     )
-    labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["doc_id"])
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
+        # localCheckpoint truncates the lineage each round — without it, iteration k
+        # re-executes all k-1 previous joins for every action (quadratic blowup)
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select("doc_id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
+            .localCheckpoint()
         )
         changed = (
             updated.alias("u")
