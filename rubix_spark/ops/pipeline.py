@@ -199,3 +199,33 @@ def x9_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _toks_df(spark, sf_dir)
     bucket = (F.size("toks") / HIST_WIDTH).cast("int") * HIST_WIDTH
     return t.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("docs"))
+
+
+# PII-shaped patterns (emails, long digit runs); the word-salad fixtures contain none,
+# so the op also reports chars_redacted == 0 as a verifiable no-op on clean data
+_PII_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9][0-9 ()+.-]{8,}[0-9]"
+
+
+@register(
+    "x9_pii_redact",
+    f"""
+    SELECT doc_id,
+           LENGTH(text) - LENGTH(regexp_replace(lower(text), '{_PII_RE}', '', 'g')) AS chars_redacted,
+           md5(regexp_replace(lower(text), '{_PII_RE}', '<PII>', 'g')) AS redacted_md5
+    FROM documents WHERE doc_id < 200
+    """,
+    doc=(
+        "PII scrubbing pass: email/phone-shaped patterns replaced with a sentinel; emits "
+        "redaction counts + a fingerprint of the redacted text (content stays "
+        "distributed). Pure JVM regex — at 100 TB this is a linear scan-rewrite."
+    ),
+)
+def x9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    low = F.lower("text")
+    redacted = F.regexp_replace(low, _PII_RE, "<PII>")
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.regexp_replace(low, _PII_RE, ""))).alias("chars_redacted"),
+        F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
+    )
