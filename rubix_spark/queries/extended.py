@@ -158,3 +158,52 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.percentile("o_totalprice", 0.5)).alias("p50"),
         round_det(F.percentile("o_totalprice", 0.9)).alias("p90"),
     )
+
+
+@register(
+    "q25_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, {duck_sum2('o_totalprice', 'total')}
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all 4 grouping-set combinations in one pass (expand + aggregate, like ROLLUP with the extra axis).",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), money(F.sum(dec("o_totalprice")), "total")
+    )
+
+
+@register(
+    "q26_window_funcs",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5) / 10000.0 AS DOUBLE) AS pct_rank,
+           ROW_NUMBER() OVER w AS rn,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS dr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc=(
+        "Ranking-function family: ntile / percent_rank / row_number / dense_rank over "
+        "deterministic total orders (percent_rank = (rank-1)/(n-1), exact small-int "
+        "division, floor-rounded)."
+    ),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from rubix_spark.fns import round_det
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w2 = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        round_det(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w2).alias("dr"),
+    )
