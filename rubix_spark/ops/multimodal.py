@@ -108,3 +108,45 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_batch(_payloads(spark, sf_dir))
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int"
+N_FRAMES = 4
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched frame sampling: pick N_FRAMES evenly-spaced byte offsets per payload.
+
+    Stand-in for video keyframe extraction (the real seek/decode plugs in where the
+    offset arithmetic is); demonstrates the one→many mapInPandas shape for media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                for i in range(N_FRAMES):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append((i * n) // N_FRAMES)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@register(
+    "x5_frame_sample",
+    f"""
+    SELECT doc_id, g.i AS frame_idx,
+           CAST((g.i * octet_length(encode(text))) // {N_FRAMES} AS INT) AS frame_offset
+    FROM documents, generate_series(0, {N_FRAMES - 1}) g(i)
+    """,
+    doc=(
+        "Frame sampling over binary payloads: 4 evenly-spaced offsets per payload via "
+        "mapInPandas (one→many media shape; the real keyframe decode plugs into the "
+        "offset loop)."
+    ),
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_payloads(spark, sf_dir))

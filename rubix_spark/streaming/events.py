@@ -165,3 +165,46 @@ def dedup_stream(events: DataFrame) -> DataFrame:
 )
 def s3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(spark, dedup_stream(read_events_stream(spark, sf_dir)))
+
+
+def purchase_click_join(events: DataFrame) -> DataFrame:
+    """S5 plan: stream-stream interval join — purchases matched to same-user clicks in
+    the preceding 30 minutes. Both sides carry watermarks so join state is bounded
+    (clicks older than purchase-watermark − 30 min are evicted)."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "15 minutes")
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "15 minutes")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", "p_id", "p_ts", "c_ts")
+
+
+@register(
+    "s5_stream_stream_join",
+    """
+    SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    doc=(
+        "Stream-stream interval join (purchases × prior-30-min clicks per user) with "
+        "watermarks on both sides bounding the join state; availableNow run matches the "
+        "batch interval-join oracle exactly."
+    ),
+)
+def s5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return _run_available_now(spark, purchase_click_join(events), mode="append")
