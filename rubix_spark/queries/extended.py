@@ -207,3 +207,29 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.dense_rank().over(w2).alias("dr"),
     )
+
+
+@register(
+    "q27_sql_exists",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+      AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_0')
+    """,
+    doc=(
+        "Correlated EXISTS / NOT EXISTS via the spark.sql() entry point (SURVEY.md §3.4 "
+        "entry point 1 — the other queries exercise the DataFrame API): Catalyst rewrites "
+        "both subqueries to semi/anti joins; temp views registered per call."
+    ),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem", "nation"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+          AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_0')
+        """
+    )
