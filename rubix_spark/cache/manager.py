@@ -129,11 +129,22 @@ class CacheManager:
         mtime, size = _mtime_size(remote_path)
         gen = self.manifest.next_generation(remote_path)
         local = self._local_dir(remote_path, gen)
-        (
-            self.spark.read.parquet(remote_path)
-            .write.mode("overwrite")
-            .parquet(local)
-        )
+        if self.spark is not None:
+            (
+                self.spark.read.parquet(remote_path)
+                .write.mode("overwrite")
+                .parquet(local)
+            )
+        else:
+            # sessionless mode (the rubix_cache DataSource planner runs in a python
+            # worker with no SparkSession): whole-file copy instead of a distributed job
+            os.makedirs(local, exist_ok=True)
+            if os.path.isdir(remote_path):
+                for root, _, files in os.walk(remote_path):
+                    for fn in files:
+                        shutil.copy2(os.path.join(root, fn), os.path.join(local, fn))
+            else:
+                shutil.copy2(remote_path, os.path.join(local, os.path.basename(remote_path)))
         committed = self.manifest.put(
             Entry(
                 remote_path=remote_path,

@@ -61,3 +61,31 @@ def cached_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(money(F.sum(dec("l_extendedprice")), "rev"))
     )
+
+
+@register(
+    "c2_datasource_scan",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS cnt, {duck_sum2('l_extendedprice', 'rev')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Scan through the rubix_cache Python Data Source (spark.read.format('rubix_cache')): "
+        "plan-time cache resolution + read-through warm, Arrow-batch reads partitioned per "
+        "parquet row-group — the literal 'Spark data source integration for caching'."
+    ),
+)
+def datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import dec, money
+    from rubix_spark.sources.cached_source import register_cache_source
+
+    register_cache_source(spark)
+    li = (
+        spark.read.format("rubix_cache")
+        .option("path", f"{sf_dir.rstrip('/')}/lineitem.parquet")
+        .option("cache_dir", os.path.join(tempfile.gettempdir(), "rubix_spark_cache", "ds"))
+        .load()
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"), money(F.sum(dec("l_extendedprice")), "rev")
+    )
