@@ -272,3 +272,49 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= KNN_K)
         .select("qid", "vec_id", round_det(F.col("s"), 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a trained codebook (k-means||)
+# ---------------------------------------------------------------------------
+@register(
+    "x2_ann_ivf_trained",
+    None,  # rows-only: k-means centroids are Spark-internal, not SQL-reproducible
+    doc=(
+        "IVF with a *trained* codebook: pyspark.ml KMeans (k-means||, fixed seed) learns "
+        "16 centroids, vectors are assigned by the model, and the query probes its 4 "
+        "nearest centroid buckets — the production build pass the deterministic-centroid "
+        "variant (x2_ann_ivf) stands in for. Rows-only gate (centroids depend on MLlib "
+        "internals); recall vs exact brute force is asserted in tests."
+    ),
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.window import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=N_CENTROIDS, seed=42, maxIter=5).fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cid")
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, ce array<double>",
+    )
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .orderBy(cosine(F.col("ce"), F.col("qe")).desc(), "cid")
+        .limit(NPROBE)
+        .select("cid")
+    )
+    sim = cosine(F.col("embedding"), F.col("qe"))
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )

@@ -43,3 +43,17 @@ def test_neardup_np_agrees_with_exact_variant(spark):
     hof = {(r.vec_a, r.vec_b) for r in REGISTRY["x1_embedding_neardup"].builder(spark, SF).collect()}
     npv = {(r.vec_a, r.vec_b) for r in REGISTRY["x1_embedding_neardup_np"].builder(spark, SF).collect()}
     assert hof == npv
+
+
+def test_trained_ivf_recall(spark):
+    """Trained-codebook IVF (rows-only gate) recalls ≥ the nprobe/nlist floor.
+
+    The synthetic embeddings are uniform random — no cluster structure — so IVF recall
+    degenerates to ~nprobe/nlist (4/16 = 25%); real corpora sit far above this floor.
+    The check guards the plumbing (probing the right buckets, including the query's own),
+    not retrieval quality on noise."""
+    exact = [r.vec_id for r in REGISTRY["x2_ann_bruteforce"].builder(spark, SF).collect()]
+    approx = {r.vec_id for r in REGISTRY["x2_ann_ivf_trained"].builder(spark, SF).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall} below nprobe/nlist floor: exact={exact}, approx={approx}"
+    assert 0 in approx  # the query vector's own bucket must always be probed

@@ -58,3 +58,41 @@ def test_parquet_sink(spark, tmp_path):
     q.awaitTermination()
     written = spark.read.parquet(out)
     assert written.count() == _batch_events(spark).count()
+
+
+def test_foreachbatch_upsert_sink(spark, tmp_path):
+    """Exactly-once-style sink: each micro-batch MERGEs into a parquet target via
+    foreachBatch + ops.upsert (the CDC pattern from the build guide)."""
+    import os
+
+    from rubix_spark.ops.upsert import merge_upsert
+    from rubix_spark.streaming.events import read_events_stream
+
+    target_dir = str(tmp_path / "target")
+
+    def upsert_batch(batch_df, epoch_id):
+        compact = batch_df.groupBy("user_id").count().withColumnRenamed("count", "n")
+        if os.path.exists(target_dir):
+            current = batch_df.sparkSession.read.parquet(target_dir)
+            merged = merge_upsert(current, compact, "user_id")
+        else:
+            merged = compact
+        # write to a staging dir then swap — parquet has no transactional MERGE
+        staging = target_dir + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        shutil.rmtree(target_dir, ignore_errors=True)
+        os.rename(staging, target_dir)
+
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target_dir)
+    expected = _batch_events(spark).groupBy("user_id").count().withColumnRenamed("count", "n")
+    assert _rows(got) == _rows(expected)
