@@ -83,6 +83,25 @@ def main() -> None:
     with cf.ThreadPoolExecutor(max_workers=n_conc) as ex:
         conc_times = list(ex.map(one_run, range(n_conc)))
 
+    # cold vs warm cache protocol (BASELINE.md §3): clear the query-scoped cache, run the
+    # cached star join cold (includes read-through warming), run again warm, report both
+    import shutil
+    import tempfile
+
+    from rubix_spark.cache.queries import _manager, _managers
+
+    cache_key = sf_dir.rstrip("/")
+    cache_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_cache", cache_key.replace("/", "_"))
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    _managers.pop(cache_key, None)
+    t0 = time.perf_counter()
+    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+    cold_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+    warm_sec = time.perf_counter() - t0
+    cache_stats = _manager(spark, sf_dir).stats()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -99,6 +118,13 @@ def main() -> None:
             "n": n_conc,
             "avg_sec": round(sum(conc_times) / len(conc_times), 4),
             "max_sec": round(max(conc_times), 4),
+        },
+        "cache": {
+            "query": "c1_cached_star_join",
+            "cold_sec": round(cold_sec, 4),
+            "warm_sec": round(warm_sec, 4),
+            "speedup": round(cold_sec / warm_sec, 2) if warm_sec > 0 else None,
+            "hit_rate": round(cache_stats["hit_rate"], 3),
         },
     }
     print(json.dumps(out))
