@@ -29,6 +29,23 @@ def round_det(col: Column, n: int = 2) -> Column:
     return F.floor(col.cast("double") * m + 0.5) / F.lit(m)
 
 
+def dec_det(col: Column, scale: int = 4) -> Column:
+    """Deterministic decimal cast for COMPUTED doubles (products, sums of terms).
+
+    Spark casts double→decimal via the shortest decimal string (BigDecimal.valueOf),
+    DuckDB via the binary value — multi-factor products land near .xxxx5 boundaries often
+    enough for the two to disagree. Floor-rounding to the target scale first (pure IEEE,
+    identical in both engines) puts the value off-boundary so the cast is unambiguous.
+    Raw data columns don't need this (their doubles carry short decimal representations).
+    """
+    return round_det(col, scale).cast(f"decimal(18,{scale})")
+
+
+def duck_dec_det(expr: str, scale: int = 4) -> str:
+    """DuckDB SQL matching dec_det()."""
+    return f"CAST({duck_round(expr, scale)} AS DECIMAL(18,{scale}))"
+
+
 def money(agg: Column, alias: str) -> Column:
     """Exact decimal aggregate -> rounded double output column."""
     return round_det(agg, 2).alias(alias)

@@ -17,9 +17,14 @@ from pyspark.sql import functions as F
 
 
 def tokens(col: Column | str) -> Column:
-    """Array<string> of normalized word tokens."""
+    """Array<string> of normalized word tokens.
+
+    Non-ASCII is stripped BEFORE lowercasing: unicode case folding differs between the
+    JVM (Spark) and DuckDB for characters like 'İ' (U+0130), while ASCII lowercasing is
+    identical everywhere — hypothesis found this (tests/test_properties.py).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    arr = F.split(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " ")
+    arr = F.split(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9 ]", " ")), " ")
     return F.filter(arr, lambda x: x != "")
 
 
@@ -31,9 +36,9 @@ def shingles(tok: Column, k: int = 3) -> Column:
 
 
 def duck_tokens(col: str = "text") -> str:
-    """DuckDB SQL producing the same token list."""
+    """DuckDB SQL producing the same token list (ASCII-strip before lower, see tokens())."""
     return (
-        f"list_filter(string_split(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g'), ' '), "
+        f"list_filter(string_split(lower(regexp_replace({col}, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), "
         "x -> x <> '')"
     )
 

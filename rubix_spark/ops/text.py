@@ -190,3 +190,43 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.encode(F.col("sh"), "utf-8"))).alias("fp"))
     )
+
+
+@register(
+    "x3_keywords",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_tok.duck_tokens('text')}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+    SELECT doc_id, tok, rk FROM (
+        SELECT tf.doc_id, tf.tok,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rk
+        FROM tf JOIN df ON tf.tok = df.tok
+    ) WHERE rk <= 3
+    """,
+    doc=(
+        "Keyword extraction: top-3 terms per doc by tf/df (exact rational score — real "
+        "TF-IDF's log() differs in the last ulp between libm implementations, so the "
+        "checked variant keeps the score exactly comparable). tf and df are two partial-"
+        "aggregated censuses joined on the term."
+    ),
+)
+def keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tok.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "tok").select(
+        "doc_id", "tok", (F.col("tf").cast("double") / F.col("df")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "rk")
+    )

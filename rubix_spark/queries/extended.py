@@ -233,3 +233,45 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_0')
         """
     )
+
+
+@register(
+    "q28_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {duck_sum2('l_quantity', 'sum_qty')},
+           {duck_sum2('l_extendedprice', 'sum_base_price')},
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_disc_price,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_charge,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_qty,
+           FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "TPC-H Q1 proper (the canonical pricing-summary report): 6 aggregates + 2 "
+        "averages per (returnflag, linestatus); single scan, partial+final agg, shuffle "
+        "of 6 groups regardless of SF."
+    ),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import round_det
+
+    li = catalog.table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    from rubix_spark.fns import dec_det
+
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money(F.sum(dec("l_quantity")), "sum_qty"),
+        money(F.sum(dec("l_extendedprice")), "sum_base_price"),
+        money(F.sum(dec_det(disc_price)), "sum_disc_price"),
+        money(F.sum(dec_det(charge)), "sum_charge"),
+        round_det(F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        round_det(F.sum(dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )

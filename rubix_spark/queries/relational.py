@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rubix_spark import catalog
-from rubix_spark.fns import dec, duck_round, duck_sum2, money, round_det
+from rubix_spark.fns import dec, dec_det, duck_round, duck_sum2, money, round_det
 from rubix_spark.queries import register
 
 
@@ -112,7 +112,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q4_star_join",
     f"""
     SELECT n.n_name,
-           {duck_round("SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))")} AS revenue
+           {duck_round("SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4)))")} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -139,7 +139,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(money(F.sum(dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
+        .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
     )
 
 

@@ -57,16 +57,18 @@ def test_minhash_universal_hash_in_range(h):
         assert 0 <= (a * h + b) % _P < _P
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA), max_size=80))
 def test_tokenizer_parity_duckdb_vs_python_model(text):
-    """The shared tokenizer (lower → strip non-[a-z0-9 ] → split) produces the same
-    tokens in DuckDB as the reference Python model, for arbitrary unicode input."""
+    """The shared tokenizer (strip non-ASCII-alnum FIRST, then lower) matches the Python
+    model for arbitrary unicode. The strip-then-lower order is load-bearing: unicode
+    case folding differs between the JVM and DuckDB ('İ' U+0130), ASCII lowering doesn't —
+    hypothesis originally caught the lower-then-strip version diverging."""
     import re
 
     from rubix_spark.ops._tok import duck_tokens
 
     con = duckdb.connect()
     got = con.execute(f"SELECT {duck_tokens('?')}", [text]).fetchone()[0]
-    model = [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split(" ") if t != ""]
+    model = [t for t in re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split(" ") if t != ""]
     assert got == model
