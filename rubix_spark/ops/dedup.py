@@ -76,7 +76,7 @@ _DUCK_DOC_SHINGLES = f"""
 @register(
     "x1_dedup_exact",
     """
-    SELECT COUNT(*) AS dup_groups, SUM(c - 1) AS extra_copies
+    SELECT COUNT(*) AS dup_groups, COALESCE(CAST(SUM(c - 1) AS BIGINT), 0) AS extra_copies
     FROM (SELECT text, COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1)
     """,
     doc="Exact dedup census: hash-groupBy on full text. At 100 TB, group on md5(text) instead to keep shuffle rows narrow.",
@@ -84,13 +84,18 @@ _DUCK_DOC_SHINGLES = f"""
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents")
     groups = docs.groupBy("text").agg(F.count("*").alias("c")).where(F.col("c") > 1)
-    return groups.agg(F.count("*").alias("dup_groups"), F.sum(F.col("c") - 1).alias("extra_copies"))
+    # COALESCE on both sides: a NULL BIGINT materializes as float NaN via pandas on the
+    # DuckDB side but None on the Spark side — the driver's value hash would diverge
+    return groups.agg(
+        F.count("*").alias("dup_groups"),
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0).cast("long")).alias("extra_copies"),
+    )
 
 
 @register(
     "x1_dedup_keep_first",
     """
-    SELECT COUNT(*) AS n_unique, SUM(n_chars) AS kept_chars
+    SELECT COUNT(*) AS n_unique, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
     FROM (
         SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
         FROM documents GROUP BY text

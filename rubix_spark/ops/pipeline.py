@@ -147,7 +147,7 @@ def x9_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT CASE WHEN {_tok.duck_hash32("concat('split:', doc_id)")} % 100 < 90
                 THEN 'train' ELSE 'test' END AS split,
-           COUNT(*) AS docs, SUM(n_chars) AS chars
+           COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY 1
     """,
     doc="Stable 90/10 train/test assignment by key hash — content edits never move a doc across the split.",

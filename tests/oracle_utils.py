@@ -3,6 +3,13 @@
 Mirrors the correctness gate: run the Spark builder and the DuckDB oracle on the same
 parquet tables, then compare row count, column names, and an order-insensitive canonical
 form (columns sorted by name, rows sorted, values normalized).
+
+Both sides are fetched THROUGH PANDAS (`DataFrame.toPandas()` / duckdb `.df()`) because
+that is the driver's rendering path. This is load-bearing for integer aggregates:
+DuckDB SUM(BIGINT) yields HUGEINT, which pandas materializes as float64 (e.g. 153156.0),
+while Spark returns int64 (153156) — a `fetchall()`-based gate silently normalizes that
+divergence away (round-1 `x1_dedup_keep_first` hash FAIL escaped exactly this way).
+Oracles must CAST integer SUMs to BIGINT; this gate now reproduces the failure if not.
 """
 
 from __future__ import annotations
@@ -12,24 +19,27 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from rubix_spark.catalog import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str):
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Run the oracle SQL, registering the testdata tables as views; fetch via pandas."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    pdf = con.execute(sql).df()
     con.close()
-    return cols, rows
+    return pdf
 
 
 def _norm(v):
     if v is None:
         return None
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -37,11 +47,29 @@ def _norm(v):
             return "nan"
         # full precision: the engine is designed to match the oracle bit-for-bit
         return repr(v)
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return None
+        v = v.to_pydatetime()
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # duckdb's .df() renders DATE as datetime64-at-midnight while Spark keeps
+        # datetime.date; the driver treats them as equal (q9 passed r1) — mirror that
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm(x) for x in v)
     return v
+
+
+def _rows(pdf: pd.DataFrame) -> list[tuple]:
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(tuple(None if v is pd.NaT or v is None else v for v in row))
+    return out
 
 
 def canonical(cols, rows):
@@ -53,17 +81,18 @@ def canonical(cols, rows):
 
 def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty → match)."""
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    o_cols, o_rows = run_oracle(oracle, sf_dir)
+    s_pdf = spark_df.toPandas()
+    o_pdf = run_oracle(oracle, sf_dir)
+    s_cols, o_cols = list(s_pdf.columns), [c.lower() for c in o_pdf.columns]
     problems = []
-    if sorted(s_cols) != sorted(c.lower() for c in o_cols):
+    if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return problems
+    s_rows, o_rows = _rows(s_pdf), _rows(o_pdf)
     if len(s_rows) != len(o_rows):
         problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
     sc, s_can = canonical(s_cols, s_rows)
-    oc, o_can = canonical([c.lower() for c in o_cols], o_rows)
+    oc, o_can = canonical(o_cols, o_rows)
     if s_can != o_can:
         diffs = [i for i, (a, b) in enumerate(zip(s_can, o_can)) if a != b]
         sample = [(i, s_can[i], o_can[i]) for i in diffs[:3]]
