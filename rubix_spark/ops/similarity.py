@@ -119,26 +119,53 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """Zero-shuffle build pass: the 16-centroid codebook is a driver artifact (exactly
+    how a k-means codebook ships to executors), folded into the assignment projection as
+    literals — argmin is computed per row with ``greatest`` over 16 scored structs, so
+    the n×16 scored table never exists and nothing is exchanged. The probe-set (4
+    nearest centroids to the query) is likewise resolved driver-side into an ``isin``
+    filter. Arithmetic mirrors the oracle exactly: sequential-fold dot, ``/ (sqrt·sqrt)``.
+    """
+    import math
 
     emb = catalog.table(spark, sf_dir, "embeddings")
-    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("ce")).alias("cs")
+    rows = sorted(
+        emb.where(F.col("vec_id") <= max(N_CENTROIDS - 1, QUERY_VEC_ID)).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
-    assign = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+    cents = {r.vec_id: [float(x) for x in r.embedding] for r in rows if r.vec_id < N_CENTROIDS}
+    qe = [float(x) for x in next(r.embedding for r in rows if r.vec_id == QUERY_VEC_ID)]
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _cos(a, b):
+        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+    probe_cids = [cid for cid, _ in sorted(cents.items(), key=lambda kv: (-_cos(kv[1], qe), kv[0]))[:NPROBE]]
+
+    # norm(embedding) in its own projection: used once per centroid score, and
+    # CollapseProject keeps non-cheap multiply-referenced aliases materialized
+    normed = emb.select("vec_id", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_ne"))
+    scored = [
+        F.struct(
+            (dot(F.col("embedding"), F.array(*[F.lit(x) for x in ce]))
+             / (F.col("_ne") * F.lit(math.sqrt(_dot(ce, ce))))).alias("cs"),
+            F.lit(-cid).alias("mcid"),
+        )
+        for cid, ce in cents.items()
+    ]
+    assign = normed.select(
+        "vec_id", "embedding", (-F.greatest(*scored).getField("mcid")).alias("cid")
+    )
 
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
-    probes = (
-        cent.crossJoin(F.broadcast(q))
-        .orderBy(cosine(F.col("ce"), F.col("qe")).desc(), "cid")
-        .limit(NPROBE)
-        .select("cid")
-    )
     sim = cosine(F.col("embedding"), F.col("qe"))
     return (
-        assign.join(F.broadcast(probes), "cid")
+        assign.where(F.col("cid").isin(probe_cids))
         .crossJoin(F.broadcast(q))
         .select("vec_id", sim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
@@ -190,35 +217,32 @@ _DUCK_PLANES = f"""
     ),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle signature pass: the 8×64 hyperplane matrix is deterministic
+    (md5-derived), so it is generated driver-side — the same formula as the oracle's
+    ``_DUCK_PLANES`` — and folded into ONE projection as 8 array literals: 8 dot-product
+    folds, 8 sign bits, one bucket id per row. No posexplode (was a 64× row blowup), no
+    plane join, no (vec_id, plane) aggregation shuffle. The per-plane dot products are
+    exact in double (float32 mantissa × |w|≤500 stays under 53 bits), so the sign bits
+    are order-independent and match the oracle's SUM-based variant bit-for-bit.
+    """
+    import hashlib
+
     emb = catalog.table(spark, sf_dir, "embeddings")
-    planes = (
-        spark.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
-        .crossJoin(spark.range(DIM).select(F.col("id").cast("int").alias("dim")))
-        .select(
-            "plane",
-            "dim",
-            (
-                F.conv(F.substring(F.md5(F.encode(F.concat_ws("_", "plane", "dim"), "utf-8")), 1, 8), 16, 10)
-                .cast("long") % 1000 - 500
-            ).cast("double").alias("w"),
-        )
-    )
-    comp = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-    sigs = (
-        comp.join(F.broadcast(planes), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(F.when(F.sum(F.col("x").cast("double") * F.col("w")) > 0, 1).otherwise(0).alias("bit"))
-    )
-    keys = sigs.groupBy("vec_id").agg(F.sum(F.expr("bit * shiftleft(1, plane)")).alias("bucket"))
-    q = (
-        keys.where(F.col("vec_id") == QUERY_VEC_ID)
-        .join(emb.where(F.col("vec_id") == QUERY_VEC_ID), "vec_id")
-        .select(F.col("bucket").alias("qb"), F.col("embedding").alias("qe"))
+    planes = [
+        [float(int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16) % 1000 - 500) for j in range(DIM)]
+        for p in range(N_PLANES)
+    ]
+    bucket = sum(
+        (F.when(dot(F.col("embedding"), F.array(*[F.lit(w) for w in row])) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        for p, row in enumerate(planes)
+    ).cast("long")
+    keys = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = keys.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("qb"), F.col("embedding").alias("qe")
     )
     sim = cosine(F.col("embedding"), F.col("qe"))
     return (
-        keys.join(emb, "vec_id")
-        .crossJoin(F.broadcast(q))
+        keys.crossJoin(F.broadcast(q))
         .where(F.col("bucket") == F.col("qb"))
         .select("vec_id", sim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")

@@ -62,3 +62,16 @@ def test_minhash_has_no_cross_join(spark):
 def test_semi_and_anti_joins(spark):
     assert "LeftSemi" in _plan(spark, "q7_semi_join")
     assert "LeftAnti" in _plan(spark, "q8_anti_join")
+
+
+def test_ann_build_passes_have_no_shuffle(spark):
+    """X2: IVF centroid assignment and LSH bucketing are map-only projections over
+    broadcast constants — the ONLY Exchange in either plan is the 1-row query-vector
+    broadcast. A shuffle here would move every embedding (the round-1 row_number-window
+    and posexplode+plane-join versions did exactly that, 16-64x amplified)."""
+    for name in ("x2_ann_ivf", "x2_ann_lsh"):
+        plan = _plan(spark, name)
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert all("BroadcastExchange" in l for l in exchanges), f"{name} shuffles:\n{plan}"
+        assert len(exchanges) == 1, f"{name} has {len(exchanges)} exchanges:\n{plan}"
+        assert "Window" not in plan and "Generate" not in plan, name
