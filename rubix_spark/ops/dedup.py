@@ -278,14 +278,17 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dh feeds three consumers (df-cap filter, per-doc sizes, the self-join) — persist the
-    # hashed-shingle table (16 B/row) so the tokenize→shingle→md5 pipeline runs once.
+    # dh feeds three consumers (df-cap filter, per-doc sizes, the self-join) — eagerly
+    # localCheckpoint the hashed-shingle table (16 B/row) so the tokenize→shingle→md5
+    # pipeline runs once. Unlike persist() (which pins a CacheManager entry until an
+    # explicit unpersist nobody can issue — the builder returns a lazy DF), checkpoint
+    # blocks are freed by the ContextCleaner when the result goes out of scope.
     # At 100 TB this is the materialized inverted index you'd write to parquet anyway.
     dh = (
         _doc_shingles(spark, sf_dir)
         .select("doc_id", _tok.hash32(F.col("sh")).alias("h"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     rare = dh.groupBy("h").agg(F.count("*").alias("df")).where(F.col("df") <= MAX_SHINGLE_DF).select("h")
     dsr = dh.join(rare, "h")
@@ -443,19 +446,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
             .agg(F.min("label").alias("nmin"))
         )
         # localCheckpoint truncates the lineage each round — without it, iteration k
-        # re-executes all k-1 previous joins for every action (quadratic blowup)
+        # re-executes all k-1 previous joins for every action (quadratic blowup).
+        # Non-eager: the convergence count below is the action that materializes the
+        # checkpoint, and the `moved` flag is computed in the same pass — ONE job per
+        # round, where a separate eager checkpoint + old-vs-new join made two.
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
-            .localCheckpoint()
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("moved"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.where("moved").count()
+        labels = updated.select("doc_id", "label")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
