@@ -164,6 +164,133 @@ class CacheManager:
         self.evict_to_budget()
         return local
 
+    # ------------------------------------------------------------------ row-group granularity
+    # The reference caches 1 MiB blocks with a per-block bitmap (FileMetadata.java:96-97)
+    # so a selective query warms only the blocks it touches. Parquet's natural block is
+    # the row group: these three methods give the same economics — footer-stats pruning
+    # picks the relevant row groups, warm materializes ONLY those (one local file per
+    # group; at cluster scale each group is an independent copy task), and reads are
+    # served from the subset as long as it covers the request and is fresh.
+
+    def relevant_row_groups(self, remote_path: str, column: str, lo=None, hi=None) -> list[int]:
+        """Row-group pruning from parquet footer min/max statistics (conservative:
+        groups without stats are kept). Single-file paths only."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(remote_path)
+        out = []
+        for i in range(pf.metadata.num_row_groups):
+            md = pf.metadata.row_group(i)
+            col = next(
+                (md.column(j) for j in range(md.num_columns) if md.column(j).path_in_schema == column),
+                None,
+            )
+            st = col.statistics if col is not None else None
+            if st is None or not st.has_min_max:
+                out.append(i)
+                continue
+            if (lo is not None and st.max < lo) or (hi is not None and st.min > hi):
+                continue
+            out.append(i)
+        return out
+
+    @staticmethod
+    def _rg_key(remote_path: str) -> str:
+        return remote_path + "#rg"
+
+    def warm_row_groups(self, remote_path: str, row_groups: list[int]) -> str | None:
+        """A6 read-through at sub-file granularity: materialize only the given row
+        groups (merged with any already-cached subset), one local parquet per group."""
+        if not self.cacheable(remote_path) or self.dummy:
+            return None
+        import pyarrow.parquet as pq
+
+        key = self._rg_key(remote_path)
+        mtime, rsize = _mtime_size(remote_path)
+        prev = self.manifest.get(key)
+        have = set(prev.row_groups or []) if prev is not None and self._fresh(prev, remote_path) else set()
+        want = sorted(set(row_groups) | have)
+        gen = self.manifest.next_generation(key)
+        local = self._local_dir(remote_path, gen)
+        os.makedirs(local, exist_ok=True)
+        pf = pq.ParquetFile(remote_path)
+        for i in want:
+            src = os.path.join(prev.local_path, f"rg_{i:05d}.parquet") if i in have else None
+            dst = os.path.join(local, f"rg_{i:05d}.parquet")
+            if src and os.path.exists(src):
+                shutil.copy2(src, dst)
+            else:
+                pq.write_table(pf.read_row_group(i), dst)
+        size = sum(os.path.getsize(os.path.join(local, f)) for f in os.listdir(local))
+        committed = self.manifest.put(
+            Entry(
+                remote_path=key,
+                local_path=local,
+                size_bytes=size,
+                last_modified=mtime,
+                generation=gen,
+                state=CACHED,
+                row_groups=want,
+                remote_size=rsize,
+            )
+        )
+        if not committed:
+            shutil.rmtree(local, ignore_errors=True)
+            return None
+        if prev is not None:
+            shutil.rmtree(prev.local_path, ignore_errors=True)
+        with self._lock:
+            self._counters["warmed_files"] += 1
+        self.evict_to_budget()
+        return local
+
+    def read_row_groups(self, remote_path: str, row_groups: list[int], warm_on_miss: bool = True) -> DataFrame:
+        """Serve specific row groups: from the cached subset when it covers the request
+        and is fresh, else warm-through (or raw remote when warming is off/gated)."""
+        key = self._rg_key(remote_path)
+        want = sorted(set(row_groups))
+        entry = self.manifest.get(key)
+        if entry is not None and entry.state == CACHED and set(want) <= set(entry.row_groups or []):
+            if self._fresh(entry, remote_path):
+                self.manifest.touch(key)
+                try:
+                    files = [os.path.join(entry.local_path, f"rg_{i:05d}.parquet") for i in want]
+                    df = self.spark.read.parquet(*files)
+                    with self._lock:
+                        self._counters["hits"] += 1
+                    return df
+                except Exception:
+                    if self.strict:
+                        raise CacheReadError(f"cached row-group read failed for {remote_path}")
+                    self.invalidate(key)
+                    with self._lock:
+                        self._counters["fallbacks"] += 1
+            else:
+                self.invalidate(key)
+        with self._lock:
+            self._counters["misses"] += 1
+        if warm_on_miss and self.cacheable(remote_path) and not self.dummy:
+            local = self.warm_row_groups(remote_path, want)
+            if local and self.manifest.get(key) is not None:
+                files = [os.path.join(local, f"rg_{i:05d}.parquet") for i in want]
+                return self.spark.read.parquet(*files)
+        return self.spark.read.parquet(remote_path)
+
+    def read_range(self, remote_path: str, column: str, lo=None, hi=None, warm_on_miss: bool = True) -> DataFrame:
+        """Predicate-driven cached read: prune row groups by footer stats, serve/warm
+        only those, and re-apply the predicate as the residual filter (stats pruning is
+        conservative, so the filter — not the pruning — defines the result)."""
+        rgs = self.relevant_row_groups(remote_path, column, lo, hi)
+        if not rgs:
+            return self.spark.read.parquet(remote_path).where("1=0")
+        df = self.read_row_groups(remote_path, rgs, warm_on_miss=warm_on_miss)
+        c = df[column]
+        if lo is not None:
+            df = df.where(c >= lo)
+        if hi is not None:
+            df = df.where(c <= hi)
+        return df
+
     # ------------------------------------------------------------------ read path
     def read(self, remote_path: str, warm_on_miss: bool = True) -> DataFrame:
         """RubiX's per-read routing (CachingInputStream.java:315-500, file granularity).
@@ -217,7 +344,8 @@ class CacheManager:
             mtime, size = _mtime_size(remote_path)
         except FileNotFoundError:
             return True
-        return mtime == entry.last_modified and size == entry.size_bytes
+        expected = entry.remote_size if entry.remote_size is not None else entry.size_bytes
+        return mtime == entry.last_modified and size == expected
 
     # ------------------------------------------------------------------ invalidation
     def invalidate(self, remote_path: str) -> None:

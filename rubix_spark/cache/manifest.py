@@ -37,10 +37,24 @@ class Entry:
     generation: int
     state: str = CACHED
     last_access: float = field(default_factory=time.time)
+    # sub-file granularity (FileMetadata.java:96-97's block bitmap, at parquet's natural
+    # block size — the row group): which remote row groups this entry materializes.
+    # None → whole file. size_bytes is then the LOCAL subset size (what eviction weighs);
+    # remote_size carries the full remote size for the staleness compare.
+    row_groups: list[int] | None = None
+    remote_size: int | None = None
 
 
 class Manifest:
-    """Thread-safe, JSON-persisted map of cached files."""
+    """Thread-safe, JSON-persisted map of cached files.
+
+    ``touch()`` (the per-cache-hit LRU timestamp) is in-memory with periodic flush —
+    a synchronous whole-manifest rewrite per hit would throttle the read path at
+    thousands of entries. Lost touches on crash only age LRU ordering, never
+    correctness; structural mutations (put/remove/generation) always flush.
+    """
+
+    TOUCH_FLUSH_INTERVAL = 5.0  # seconds between touch-driven flushes
 
     def __init__(self, path: str):
         self._path = path
@@ -49,6 +63,8 @@ class Manifest:
         # highest generation ever seen per remote path, even after eviction — a stale
         # writer can never resurrect an invalidated copy (FileMetadata.java:125-182)
         self._generations: dict[str, int] = {}
+        self._dirty_touches = 0
+        self._last_flush = time.time()
         self._load()
 
     def _load(self) -> None:
@@ -69,6 +85,8 @@ class Manifest:
                 f,
             )
         os.replace(tmp, self._path)
+        self._dirty_touches = 0
+        self._last_flush = time.time()
 
     def get(self, remote_path: str) -> Entry | None:
         with self._lock:
@@ -79,6 +97,14 @@ class Manifest:
             e = self._entries.get(remote_path)
             if e:
                 e.last_access = time.time()
+                self._dirty_touches += 1
+                if time.time() - self._last_flush >= self.TOUCH_FLUSH_INTERVAL:
+                    self._save()
+
+    def flush(self) -> None:
+        """Force pending touch timestamps to disk (shutdown/test hook)."""
+        with self._lock:
+            if self._dirty_touches:
                 self._save()
 
     def next_generation(self, remote_path: str) -> int:
