@@ -1,0 +1,63 @@
+"""Metrics reporter tests (A27 beyond in-process counters): StatsD wire format against
+a real bound UDP socket, log reporter line shape, periodic thread lifecycle."""
+
+from __future__ import annotations
+
+import logging
+import socket
+import time
+
+from rubix_spark.cache.metrics import LogReporter, StatsDReporter
+
+
+def _stats():
+    return {"hits": 3, "misses": 1, "hit_rate": 0.75, "cached_bytes": 4096, "skipme": "str"}
+
+
+def test_statsd_wire_format():
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(2.0)
+    port = recv.getsockname()[1]
+    rep = StatsDReporter(_stats, port=port, prefix="t.cache")
+    rep.report_once()
+    got = set()
+    for _ in range(4):  # 4 numeric metrics; the string one must be skipped
+        got.add(recv.recv(1024).decode())
+    assert got == {
+        "t.cache.hits:3|g",
+        "t.cache.misses:1|g",
+        "t.cache.hit_rate:0.75|g",
+        "t.cache.cached_bytes:4096|g",
+    }
+    rep.stop()
+    recv.close()
+
+
+def test_periodic_reporting_thread():
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(2.0)
+    port = recv.getsockname()[1]
+    rep = StatsDReporter(_stats, port=port, interval=0.05).start()
+    assert recv.recv(1024)  # at least one datagram arrives without manual report_once
+    rep.stop()
+    recv.close()
+
+
+def test_log_reporter_line(caplog):
+    rep = LogReporter(_stats, logger=logging.getLogger("t.metrics"))
+    with caplog.at_level(logging.INFO, logger="t.metrics"):
+        rep.report_once()
+    assert "cache-stats" in caplog.text
+    assert "hit_rate=0.75" in caplog.text and "hits=3" in caplog.text
+
+
+def test_reporter_failure_does_not_raise():
+    def boom():
+        raise RuntimeError("stats exploded")
+
+    rep = LogReporter(boom, interval=0.02).start()
+    time.sleep(0.1)  # several failing cycles; daemon thread must survive
+    assert rep._thread.is_alive()
+    rep.stop()
