@@ -198,6 +198,22 @@ class CacheManager:
     def _rg_key(remote_path: str) -> str:
         return remote_path + "#rg"
 
+    # A4 request collation (ReadRequestChain.java:71-90 merge, :92-116 chunking):
+    # adjacent row groups merge into ONE backend ranged read; runs longer than
+    # ``max_run`` split so a single huge read can't monopolize memory/bandwidth.
+    MAX_COLLATED_RUN = 16
+
+    @staticmethod
+    def collate(row_groups: list[int], max_run: int | None = None) -> list[list[int]]:
+        max_run = max_run or CacheManager.MAX_COLLATED_RUN
+        runs: list[list[int]] = []
+        for i in sorted(set(row_groups)):
+            if runs and i == runs[-1][-1] + 1 and len(runs[-1]) < max_run:
+                runs[-1].append(i)
+            else:
+                runs.append([i])
+        return runs
+
     def warm_row_groups(self, remote_path: str, row_groups: list[int]) -> str | None:
         """A6 read-through at sub-file granularity: materialize only the given row
         groups (merged with any already-cached subset), one local parquet per group."""
@@ -214,13 +230,20 @@ class CacheManager:
         local = self._local_dir(remote_path, gen)
         os.makedirs(local, exist_ok=True)
         pf = pq.ParquetFile(remote_path)
-        for i in want:
-            src = os.path.join(prev.local_path, f"rg_{i:05d}.parquet") if i in have else None
-            dst = os.path.join(local, f"rg_{i:05d}.parquet")
-            if src and os.path.exists(src):
-                shutil.copy2(src, dst)
-            else:
-                pq.write_table(pf.read_row_group(i), dst)
+        for i in [g for g in want if g in have]:
+            shutil.copy2(
+                os.path.join(prev.local_path, f"rg_{i:05d}.parquet"),
+                os.path.join(local, f"rg_{i:05d}.parquet"),
+            )
+        # collated fetch (A4): one backend read per contiguous run, sliced back into
+        # per-group local files (the serving granularity)
+        for run in self.collate([i for i in want if i not in have]):
+            tbl = pf.read_row_groups(run)
+            offset = 0
+            for i in run:
+                n = pf.metadata.row_group(i).num_rows
+                pq.write_table(tbl.slice(offset, n), os.path.join(local, f"rg_{i:05d}.parquet"))
+                offset += n
         size = sum(os.path.getsize(os.path.join(local, f)) for f in os.listdir(local))
         committed = self.manifest.put(
             Entry(

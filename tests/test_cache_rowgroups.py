@@ -95,6 +95,25 @@ def test_rowgroup_eviction_weighs_subset_bytes(spark, multi_rg_file, tmp_path):
     assert cm.stats()["evictions"] == 1
 
 
+def test_collation_merges_adjacent_and_chunks_runs():
+    """A4 analog (ReadRequestChain.java:71-90, 92-116): adjacent groups merge into one
+    backend read; runs cap at MAX_COLLATED_RUN."""
+    assert CacheManager.collate([7, 0, 1, 2, 5, 8]) == [[0, 1, 2], [5], [7, 8]]
+    assert CacheManager.collate([0, 1, 2, 3], max_run=2) == [[0, 1], [2, 3]]
+    assert CacheManager.collate([]) == []
+    assert CacheManager.collate([4, 4, 4]) == [[4]]
+
+
+def test_collated_warm_equals_per_group_content(spark, multi_rg_file, tmp_path):
+    """The sliced-back local files must hold exactly their row group's rows."""
+    cm = CacheManager(spark, str(tmp_path / "cache"))
+    cm.warm_row_groups(multi_rg_file, [3, 4, 5])  # one collated read, three local files
+    entry = cm.manifest.get(cm._rg_key(multi_rg_file))
+    for i in (3, 4, 5):
+        got = _rows(spark.read.parquet(os.path.join(entry.local_path, f"rg_{i:05d}.parquet")))
+        assert got == [(k, k * 2) for k in range(i * 100, (i + 1) * 100)]
+
+
 def test_touch_is_batched_not_per_hit(tmp_path):
     """touch() must not rewrite the manifest synchronously on every cache hit."""
     mpath = str(tmp_path / "manifest.json")
