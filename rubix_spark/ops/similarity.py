@@ -147,18 +147,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probe_cids = [cid for cid, _ in sorted(cents.items(), key=lambda kv: (-_cos(kv[1], qe), kv[0]))[:NPROBE]]
 
-    # norm(embedding) in its own projection: used once per centroid score, and
-    # CollapseProject keeps non-cheap multiply-referenced aliases materialized
-    normed = emb.select("vec_id", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_ne"))
+    # Argmax over dot(e, ĉ) with centroids NORMALIZED driver-side: cos(e,c) =
+    # dot(e, c/|c|) / |e|, and |e| is a positive per-row constant, so the ordering —
+    # and hence the chosen centroid — is the oracle's. This keeps the row norm out of
+    # the expression entirely (filter pushdown would otherwise inline it 16×, one
+    # re-fold per struct — measured 13× regression). F.lit(list) produces a true array
+    # Literal evaluated once, not a per-row CreateArray. Assignment equivalence with
+    # the cosine form is asserted in tests/test_queries (oracle hash) at every SF.
     scored = [
         F.struct(
-            (dot(F.col("embedding"), F.array(*[F.lit(x) for x in ce]))
-             / (F.col("_ne") * F.lit(math.sqrt(_dot(ce, ce))))).alias("cs"),
+            dot(F.col("embedding"), F.lit([x / math.sqrt(_dot(ce, ce)) for x in ce])).alias("cs"),
             F.lit(-cid).alias("mcid"),
         )
         for cid, ce in cents.items()
     ]
-    assign = normed.select(
+    assign = emb.select(
         "vec_id", "embedding", (-F.greatest(*scored).getField("mcid")).alias("cid")
     )
 
@@ -233,7 +236,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in range(N_PLANES)
     ]
     bucket = sum(
-        (F.when(dot(F.col("embedding"), F.array(*[F.lit(w) for w in row])) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        (F.when(dot(F.col("embedding"), F.lit(row)) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
         for p, row in enumerate(planes)
     ).cast("long")
     keys = emb.select("vec_id", "embedding", bucket.alias("bucket"))
