@@ -72,3 +72,40 @@ def test_tokenizer_parity_duckdb_vs_python_model(text):
     got = con.execute(f"SELECT {duck_tokens('?')}", [text]).fetchone()[0]
     model = [t for t in re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split(" ") if t != ""]
     assert got == model
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=500), max_size=60),
+       st.integers(min_value=1, max_value=8))
+def test_collate_partitions_input_into_contiguous_capped_runs(groups, max_run):
+    """A4 collation invariants: runs cover exactly the distinct input, each run is
+    contiguous and ascending, no run exceeds the cap, adjacent runs never mergeable."""
+    from rubix_spark.cache.manager import CacheManager
+
+    runs = CacheManager.collate(groups, max_run=max_run)
+    flat = [i for run in runs for i in run]
+    assert flat == sorted(set(groups))
+    for run in runs:
+        assert run == list(range(run[0], run[0] + len(run)))
+        assert len(run) <= max_run
+    for a, b in zip(runs, runs[1:]):
+        # a gap, or the cap, must justify every split
+        assert b[0] > a[-1] + 1 or len(a) == max_run
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.text(min_size=1, max_size=20), min_size=2, max_size=10),
+       st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=50, unique=True))
+def test_ring_removal_only_remaps_keys_of_the_removed_node(nodes, keys):
+    """Rendezvous-hash stability (A12/A21): dropping one node must not move any key
+    whose owner survives — the 1/n-remap property the reference's consistent hash
+    guarantees (ClusterManager.java:43-46)."""
+    from rubix_spark.cache.ring import locate_key
+
+    nodes = sorted(nodes)
+    before = {k: locate_key(k, nodes) for k in keys}
+    victim = nodes[0]
+    survivors = [n for n in nodes if n != victim]
+    for k, owner in before.items():
+        if owner != victim:
+            assert locate_key(k, survivors) == owner
