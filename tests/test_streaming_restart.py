@@ -1,0 +1,109 @@
+"""Deployment-path streaming tests: checkpoint restart-resume and a live
+processingTime trigger — the semantics a production rollout relies on, beyond the
+single-shot availableNow gate runs.
+
+Restart contract under test: two availableNow runs sharing one checkpoint must (a) not
+reprocess run-1's input, and (b) produce, across both runs, exactly the finalized
+windows a single batch computation yields — no loss, no duplicates. This is how the
+engine ships incremental jobs (the cron-driven incremental-batch pattern).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from rubix_spark.streaming.events import sliding_counts
+
+MIN = 60 * 1_000_000_000  # one minute in nanos (events fixture stores int64 nanos)
+
+_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _stream(spark, in_dir):
+    from rubix_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw = spark.readStream.schema(_SCHEMA).format("parquet").load(in_dir)
+    return sliding_counts(raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+
+
+def _run_once(spark, in_dir, out_dir, ckpt_dir):
+    q = (
+        _stream(spark, in_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _evt(i, t_min, etype, v):
+    return (i, t_min * MIN, i % 5, etype, float(v), "{}")
+
+
+def test_checkpoint_restart_resumes_without_loss_or_dupes(spark, tmp_path):
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    batch_a = [_evt(i, 2 + i, "view", i) for i in range(8)]  # minutes 2..9
+    batch_b = [_evt(100 + i, 31 + i, "click", i) for i in range(8)]  # minutes 31..38
+    sentinel = [_evt(999, 600, "flush", 0)]  # far future: advances watermark past A+B
+
+    _write_events(spark, in_dir, batch_a)
+    _run_once(spark, in_dir, out_dir, ckpt)
+
+    _write_events(spark, in_dir, batch_b + sentinel)
+    _run_once(spark, in_dir, out_dir, ckpt)  # SAME checkpoint → must resume, not replay
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir).where("event_type <> 'flush'").collect()
+    )
+    # single-batch truth over the full input (append mode emits only finalized windows,
+    # and the sentinel finalizes every A/B window)
+    batch_df = spark.createDataFrame(batch_a + batch_b + sentinel, _SCHEMA).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    want = sorted(
+        tuple(r) for r in sliding_counts(batch_df).where("event_type <> 'flush'").collect()
+    )
+    assert got == want
+    assert len(got) > 0  # both event types' windows actually emitted
+
+
+def test_processing_time_trigger_live_run(spark, tmp_path):
+    """The continuous deployment mode: a processingTime trigger picks up files appearing
+    between micro-batches; stop after the data is through."""
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_events(spark, in_dir, [_evt(i, 2 + i, "view", i) for i in range(4)])
+    q = (
+        _stream(spark, in_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # second file lands mid-stream; its sentinel finalizes the first file's windows
+        _write_events(spark, in_dir, [_evt(999, 600, "flush", 0)])
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] == 0 and spark.read.parquet(
+                out_dir
+            ).where("event_type = 'view'").count() > 0:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    views = spark.read.parquet(out_dir).where("event_type = 'view'")
+    assert views.count() > 0  # windows finalized and emitted while the query was live
