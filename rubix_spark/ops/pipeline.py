@@ -229,3 +229,65 @@ def x9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(F.regexp_replace(low, _PII_RE, ""))).alias("chars_redacted"),
         F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
     )
+
+
+@register(
+    "x9_e2e_pipeline",
+    f"""
+    WITH q AS (
+        SELECT doc_id, text, lang, n_chars,
+               len({_tok.duck_tokens('text')}) AS n_tok,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / LENGTH(text) AS punct_ratio
+        FROM documents
+    ),
+    f AS (SELECT * FROM q WHERE n_tok >= 5 AND punct_ratio <= 0.4),
+    w AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+    d AS (SELECT f.* FROM f JOIN w USING (doc_id)),
+    s AS (
+        SELECT d.*, CASE WHEN {_tok.duck_hash32("concat('split:', doc_id)")} % 100 < 90
+                         THEN 'train' ELSE 'test' END AS split
+        FROM d
+    )
+    SELECT split, lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           FLOOR(CAST(SUM(CAST(n_tok AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_tokens
+    FROM s GROUP BY split, lang
+    """,
+    doc=(
+        "End-to-end training-data prep in ONE declarative plan: quality gate (token "
+        "floor + punctuation ceiling) -> exact dedup keep-first (min doc_id per text) "
+        "-> stable 90/10 hash split -> per-(split, lang) census. Composition is the "
+        "point: each stage is the same operator the x3/x1/x9 entries verify in "
+        "isolation, and Catalyst pipelines them into filter-pushed scans, one dedup "
+        "shuffle, and a partial-aggregated census - the shape a 100 TB prep job wants "
+        "(filter FIRST, so dedup shuffles only survivors)."
+    ),
+)
+def x9_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    # token count materialized in its own projection (used by filter AND census avg)
+    q = docs.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.size(_tok.tokens("text")).alias("n_tok"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+    f = q.where((F.col("n_tok") >= 5) & (F.col("punct_ratio") <= 0.4))
+    winners = f.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    d = f.join(winners, "doc_id")
+    split = F.when(
+        _tok.hash32(F.concat(F.lit("split:"), F.col("doc_id"))) % 100 < 90, "train"
+    ).otherwise("test")
+    return (
+        d.select("lang", "n_chars", "n_tok", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            round_det(
+                F.sum(F.col("n_tok").cast("decimal(18,4)")).cast("double") / F.count("*")
+            ).alias("avg_tokens"),
+        )
+    )
