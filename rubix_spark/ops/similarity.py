@@ -357,3 +357,69 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-probe sign-LSH (Hamming-distance-1 bucket expansion)
+# ---------------------------------------------------------------------------
+_PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)]  # own bucket + 8 one-bit flips
+
+
+@register(
+    "x2_ann_lsh_multiprobe",
+    f"""
+    WITH planes AS ({_DUCK_PLANES}),
+    sigs AS (
+        SELECT v.vec_id, pl.plane,
+               CASE WHEN SUM(CAST(v.embedding[pl.dim + 1] AS DOUBLE) * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+        FROM embeddings v, planes pl
+        GROUP BY v.vec_id, pl.plane
+    ),
+    keys AS (
+        SELECT vec_id, SUM(bit * (1 << plane)) AS bucket FROM sigs GROUP BY vec_id
+    ),
+    q AS (
+        SELECT k.bucket AS qb, v.embedding AS qe
+        FROM keys k JOIN embeddings v ON v.vec_id = k.vec_id
+        WHERE k.vec_id = {QUERY_VEC_ID}
+    )
+    SELECT v.vec_id, FLOOR(({_duck_cos('v.embedding', 'q.qe')}) * 10000 + 0.5) / 10000.0 AS sim
+    FROM keys k JOIN embeddings v ON v.vec_id = k.vec_id, q
+    WHERE xor(k.bucket, q.qb) IN ({", ".join(str(m) for m in _PROBE_MASKS)})
+    ORDER BY {_duck_cos('v.embedding', 'q.qe')} DESC, v.vec_id
+    LIMIT {TOP_K}
+    """,
+    doc=(
+        "Multi-probe sign-LSH: candidates = the query's bucket PLUS the 8 buckets one "
+        "bit-flip away (Hamming distance <= 1 on the 8-bit signature) — the standard "
+        "recall repair for sign-LSH, trading 9x the probed buckets (~9/256 of the "
+        "corpus) for recall on near-boundary vectors. Same zero-shuffle signature pass "
+        "as x2_ann_lsh; the probe set is a 9-value IN on the bucket key, which at scale "
+        "is 9 partition reads of a bucket-partitioned table."
+    ),
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    planes = [
+        [float(int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16) % 1000 - 500) for j in range(DIM)]
+        for p in range(N_PLANES)
+    ]
+    bucket = sum(
+        (F.when(dot(F.col("embedding"), F.lit(row)) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        for p, row in enumerate(planes)
+    ).cast("long")
+    keys = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = keys.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("qb"), F.col("embedding").alias("qe")
+    )
+    sim = cosine(F.col("embedding"), F.col("qe"))
+    return (
+        keys.crossJoin(F.broadcast(q))
+        .where(F.expr("bucket ^ qb").isin(_PROBE_MASKS))
+        .select("vec_id", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )
