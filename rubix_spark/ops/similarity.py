@@ -90,6 +90,57 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-lite probe
 # ---------------------------------------------------------------------------
+def _py_dot(a, b) -> float:
+    """Driver-side sequential-fold dot — bit-identical to dot()/DUCK_DOT evaluation."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _py_cos(a, b) -> float:
+    import math
+
+    return _py_dot(a, b) / (math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b)))
+
+
+def _ivf_codebook(emb: DataFrame, extra_ids: tuple[int, ...] = ()) -> tuple[dict, dict]:
+    """Collect the deterministic codebook (first N_CENTROIDS vectors) plus any extra
+    vectors (query vectors) — a bounded driver artifact, like shipping k-means centroids."""
+    top = max([N_CENTROIDS - 1, *extra_ids])
+    rows = emb.where(F.col("vec_id") <= top).select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    cents = {vid: v for vid, v in vecs.items() if vid < N_CENTROIDS}
+    extras = {vid: vecs[vid] for vid in extra_ids}
+    return cents, extras
+
+
+def _probe_cids(cents: dict, qe: list) -> list[int]:
+    """NPROBE nearest centroids to a query — the oracle's ORDER BY cos DESC, cid."""
+    return [cid for cid, _ in sorted(cents.items(), key=lambda kv: (-_py_cos(kv[1], qe), kv[0]))[:NPROBE]]
+
+
+def _ivf_assign(emb: DataFrame, cents: dict) -> DataFrame:
+    """Zero-shuffle IVF assignment: argmax over dot(e, ĉ) with centroids NORMALIZED
+    driver-side — cos(e,c) = dot(e, c/|c|) / |e|, and |e| is a positive per-row
+    constant, so the ordering (and the chosen centroid) is the oracle's cosine argmax.
+    Keeping the row norm out of the expression matters: filter pushdown would inline it
+    once per centroid struct (measured 13× regression). F.lit(list) produces a true
+    array Literal evaluated once, not a per-row CreateArray. Ties break to the smaller
+    cid via the negated-cid struct field, matching ROW_NUMBER(ORDER BY cos DESC, cid).
+    """
+    import math
+
+    scored = [
+        F.struct(
+            dot(F.col("embedding"), F.lit([x / math.sqrt(_py_dot(ce, ce)) for x in ce])).alias("cs"),
+            F.lit(-cid).alias("mcid"),
+        )
+        for cid, ce in cents.items()
+    ]
+    return emb.select("vec_id", "embedding", (-F.greatest(*scored).getField("mcid")).alias("cid"))
+
+
 @register(
     "x2_ann_ivf",
     f"""
@@ -119,51 +170,13 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-shuffle build pass: the 16-centroid codebook is a driver artifact (exactly
-    how a k-means codebook ships to executors), folded into the assignment projection as
-    literals — argmin is computed per row with ``greatest`` over 16 scored structs, so
-    the n×16 scored table never exists and nothing is exchanged. The probe-set (4
-    nearest centroids to the query) is likewise resolved driver-side into an ``isin``
-    filter. Arithmetic mirrors the oracle exactly: sequential-fold dot, ``/ (sqrt·sqrt)``.
-    """
-    import math
-
+    """Zero-shuffle build pass (see _ivf_assign); the probe set resolves driver-side
+    into an isin filter. Assignment equivalence with the oracle's cosine-argmax form is
+    asserted via the oracle hash at every SF (tests/test_queries)."""
     emb = catalog.table(spark, sf_dir, "embeddings")
-    rows = sorted(
-        emb.where(F.col("vec_id") <= max(N_CENTROIDS - 1, QUERY_VEC_ID)).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
-    cents = {r.vec_id: [float(x) for x in r.embedding] for r in rows if r.vec_id < N_CENTROIDS}
-    qe = [float(x) for x in next(r.embedding for r in rows if r.vec_id == QUERY_VEC_ID)]
-
-    def _dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    def _cos(a, b):
-        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
-
-    probe_cids = [cid for cid, _ in sorted(cents.items(), key=lambda kv: (-_cos(kv[1], qe), kv[0]))[:NPROBE]]
-
-    # Argmax over dot(e, ĉ) with centroids NORMALIZED driver-side: cos(e,c) =
-    # dot(e, c/|c|) / |e|, and |e| is a positive per-row constant, so the ordering —
-    # and hence the chosen centroid — is the oracle's. This keeps the row norm out of
-    # the expression entirely (filter pushdown would otherwise inline it 16×, one
-    # re-fold per struct — measured 13× regression). F.lit(list) produces a true array
-    # Literal evaluated once, not a per-row CreateArray. Assignment equivalence with
-    # the cosine form is asserted in tests/test_queries (oracle hash) at every SF.
-    scored = [
-        F.struct(
-            dot(F.col("embedding"), F.lit([x / math.sqrt(_dot(ce, ce)) for x in ce])).alias("cs"),
-            F.lit(-cid).alias("mcid"),
-        )
-        for cid, ce in cents.items()
-    ]
-    assign = emb.select(
-        "vec_id", "embedding", (-F.greatest(*scored).getField("mcid")).alias("cid")
-    )
+    cents, extras = _ivf_codebook(emb, (QUERY_VEC_ID,))
+    probe_cids = _probe_cids(cents, extras[QUERY_VEC_ID])
+    assign = _ivf_assign(emb, cents)
 
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
     sim = cosine(F.col("embedding"), F.col("qe"))
@@ -422,4 +435,74 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(TOP_K)
         .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed kNN join (the batch-queries scale path)
+# ---------------------------------------------------------------------------
+@register(
+    "x2_knn_join_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_duck_cos('v.embedding', 'c.ce')} DESC, c.cid) AS rn
+            FROM embeddings v, cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {_duck_cos('c.ce', 'q.qe')} DESC, c.cid) AS rn
+            FROM cent c, q
+        ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT q.qid, a.vec_id, {_duck_cos('a.embedding', 'q.qe')} AS s
+        FROM assign a JOIN probes p ON a.cid = p.cid JOIN q ON q.qid = p.qid
+        WHERE a.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, FLOOR(s * 10000 + 0.5) / 10000.0 AS sim FROM (
+        SELECT qid, vec_id, s,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {KNN_K}
+    """,
+    doc=(
+        "kNN JOIN through IVF buckets — the batch-queries scale path: corpus assignment "
+        "is the same zero-shuffle literal-codebook pass as x2_ann_ivf, each query probes "
+        "its 4 nearest buckets, and candidates are scored only inside shared buckets "
+        "(a broadcast of the tiny (qid,cid) probe map — never queries x corpus). "
+        "Per-query top-3 via WindowGroupLimit. Approximate by construction; the oracle "
+        "restates the identical bucket semantics, so the gate is exact."
+    ),
+)
+def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    cents, extras = _ivf_codebook(emb, tuple(range(N_QUERIES)))
+    assign = _ivf_assign(emb, cents)
+    probe_pairs = [(qid, cid) for qid, qe in extras.items() for cid in _probe_cids(cents, qe)]
+    probes = emb.sparkSession.createDataFrame(probe_pairs, "qid bigint, cid int")
+
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(q), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("s"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("qid", "vec_id", round_det(F.col("s"), 4).alias("sim"))
     )
