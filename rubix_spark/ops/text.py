@@ -219,8 +219,11 @@ def keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_tok.tokens("text")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # tf feeds BOTH the df census and the join — checkpoint it so tokenize+explode+
+    # aggregate runs once, and derive df as COUNT(*) over tf rows (one row per
+    # (doc_id, tok) ⇒ identical to COUNT(DISTINCT doc_id), without the distinct pass)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint(eager=True)
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = tf.join(df, "tok").select(
         "doc_id", "tok", (F.col("tf").cast("double") / F.col("df")).alias("score")
     )
