@@ -97,3 +97,58 @@ def x7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
     joined = asof_join(purchases, clicks, on="ts", by="user_id")
     return joined.select("user_id", "event_id", F.col("ts_r").alias("click_ts"))
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join — bucketized, never a row-multiplying theta join
+# ---------------------------------------------------------------------------
+_WINDOW_US = 10 * 60 * 1_000_000  # 10-minute lookback
+_BUCKET_US = _WINDOW_US  # bucket width == window span ⇒ candidates live in 2 buckets
+
+
+@register(
+    "x7_range_join",
+    """
+    SELECT p.event_id, COUNT(*) AS n_clicks,
+           FLOOR(CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS click_v
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc=(
+        "Range (interval) join: each purchase gathers the same user's clicks from the "
+        "preceding 10 minutes. The oracle states it as the theta join; the Spark plan "
+        "BUCKETIZES time at the window width so every candidate pair shares one of two "
+        "(user, bucket) keys — a 2x fan-out equi-join with a residual filter, never the "
+        "O(clicks x purchases)-per-user nested loop a raw inequality join becomes. At "
+        "100 TB both sides shuffle once on narrow keys; AQE handles hot users."
+    ),
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import dec, money
+
+    ev = catalog.table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast is lossless
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("c_us"),
+        "value",
+        F.floor(us / _BUCKET_US).cast("long").alias("bucket"),
+    )
+    pb = F.floor(us / _BUCKET_US).cast("long")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_us"),
+        F.explode(F.array(pb - 1, pb)).alias("bucket"),
+    )
+    joined = purchases.join(clicks, ["user_id", "bucket"]).where(
+        (F.col("c_us") >= F.col("p_us") - _WINDOW_US) & (F.col("c_us") < F.col("p_us"))
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"), money(F.sum(dec("value")), "click_v")
+    )

@@ -275,3 +275,46 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.sum(dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
+
+
+@register(
+    "x10_rollup_cascade",
+    """
+    WITH m AS (
+        SELECT date_trunc('minute', ts) AS mb, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS v
+        FROM events GROUP BY 1
+    ),
+    h AS (
+        SELECT date_trunc('hour', mb) AS hb, CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+        FROM m GROUP BY 1
+    )
+    SELECT CAST(date_trunc('day', hb) AS DATE) AS day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           FLOOR(CAST(SUM(v) AS DOUBLE) * 100 + 0.5) / 100.0 AS total_v,
+           COUNT(*) AS active_hours
+    FROM h GROUP BY 1
+    """,
+    doc=(
+        "Hypertable-style continuous-aggregate cascade: minute rollup -> hour rollup "
+        "built FROM the minute level -> day level built FROM the hour level. "
+        "Aggregate-of-aggregate reuse is the point: at 100 TB the minute table is the "
+        "only pass over raw events, every coarser resolution re-aggregates the much "
+        "smaller previous level (counts sum, decimal sums re-sum exactly; no "
+        "re-averaging bugs). Each level is one partial-aggregated shuffle of "
+        "cardinality = buckets, not rows."
+    ),
+)
+def x10_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.table(spark, sf_dir, "events")
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("mb")).agg(
+        F.count("*").alias("n"), F.sum(dec("value")).alias("v")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "mb").alias("hb")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    return hour.groupBy(F.to_date(F.date_trunc("day", "hb")).alias("day")).agg(
+        F.sum("n").alias("n_events"),
+        money(F.sum("v"), "total_v"),
+        F.count("*").alias("active_hours"),
+    )
