@@ -49,8 +49,8 @@ PRIORITY: tuple[str, ...] = (
     "q11_window_frame", "q12_rollup", "q13_distinct_buckets", "q14_scalar_fan",
     "q15_union_all", "q16_topk", "q17_scalar_funcs", "q18_correlated", "q19_composed",
     "q20_time_bucket",
-    # headline composed query
-    "q28_tpch_q1",
+    # charter custom operators: range join (as-of join is below with X7)
+    "x7_range_join",
     # X1 dedup (exact, keep-first, MinHash-LSH, connected components)
     "x1_dedup_exact", "x1_dedup_keep_first", "x1_minhash_lsh", "x1_dedup_components",
     # X2 similarity search (brute force, IVF, sign-LSH)
@@ -63,9 +63,9 @@ PRIORITY: tuple[str, ...] = (
     "x5_multimodal_meta", "x5_multimodal_decode",
     # X7 as-of join
     "x7_asof_join",
-    # X9 LLM-pipeline ops
+    # X9 LLM-pipeline ops (+ the end-to-end composition showcase)
     "x9_chunk", "x9_repetition", "x9_sample_strata", "x9_train_test",
-    "x9_contamination", "x9_token_hist", "x9_pii_redact",
+    "x9_contamination", "x9_e2e_pipeline", "x9_pii_redact",
     # S1/S2 structured streaming
     "s1_stream_sliding", "s2_stream_session",
     # C1/C2 cache layer (§2.A driver proof)

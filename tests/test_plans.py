@@ -64,6 +64,14 @@ def test_semi_and_anti_joins(spark):
     assert "LeftAnti" in _plan(spark, "q8_anti_join")
 
 
+def test_range_join_is_bucketized_equi_join(spark):
+    """X7 range join must compile to a hash equi-join on (user, bucket) with a residual
+    time filter — an inequality-only join would be a per-user nested loop."""
+    plan = _plan(spark, "x7_range_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
 def test_ann_build_passes_have_no_shuffle(spark):
     """X2: IVF centroid assignment and LSH bucketing are map-only projections over
     broadcast constants — the ONLY Exchange in either plan is the 1-row query-vector
