@@ -59,6 +59,27 @@ def main() -> None:
     # untimed warmup: JVM JIT, parquet footer caches, Python worker pool
     _consume(registry["q4_star_join"].builder(spark, sf_dir))
 
+    # cold vs warm cache protocol (BASELINE.md §3) runs FIRST, in a clean JVM: measured
+    # after the 80-query loop it absorbs multi-second GC pauses from the bloated heap
+    # (warm read spiked 1.3s -> 13.8s on identical data). Clear the query-scoped cache,
+    # run the cached star join cold (includes read-through warming), run again warm.
+    import shutil
+    import tempfile
+
+    from rubix_spark.cache.queries import _manager, _managers
+
+    cache_key = sf_dir.rstrip("/")
+    cache_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_cache", cache_key.replace("/", "_"))
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    _managers.pop(cache_key, None)
+    t0 = time.perf_counter()
+    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+    cold_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+    warm_sec = time.perf_counter() - t0
+    cache_stats = _manager(spark, sf_dir).stats()
+
     timings: dict[str, float] = {}
     for name in names:
         q = registry[name]
@@ -83,25 +104,6 @@ def main() -> None:
 
     with cf.ThreadPoolExecutor(max_workers=n_conc) as ex:
         conc_times = list(ex.map(one_run, range(n_conc)))
-
-    # cold vs warm cache protocol (BASELINE.md §3): clear the query-scoped cache, run the
-    # cached star join cold (includes read-through warming), run again warm, report both
-    import shutil
-    import tempfile
-
-    from rubix_spark.cache.queries import _manager, _managers
-
-    cache_key = sf_dir.rstrip("/")
-    cache_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_cache", cache_key.replace("/", "_"))
-    shutil.rmtree(cache_dir, ignore_errors=True)
-    _managers.pop(cache_key, None)
-    t0 = time.perf_counter()
-    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
-    cold_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
-    warm_sec = time.perf_counter() - t0
-    cache_stats = _manager(spark, sf_dir).stats()
 
     # eviction-under-pressure stress (rubix-stress/rubix_stressor.py:54-70 analog):
     # cache budget sized BELOW the working set, concurrent readers cycling the tables —
