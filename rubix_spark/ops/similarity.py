@@ -175,14 +175,15 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted via the oracle hash at every SF (tests/test_queries)."""
     emb = catalog.table(spark, sf_dir, "embeddings")
     cents, extras = _ivf_codebook(emb, (QUERY_VEC_ID,))
-    probe_cids = _probe_cids(cents, extras[QUERY_VEC_ID])
+    qe = extras[QUERY_VEC_ID]
+    probe_cids = _probe_cids(cents, qe)
     assign = _ivf_assign(emb, cents)
 
-    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
-    sim = cosine(F.col("embedding"), F.col("qe"))
+    # the query vector is already a driver value — score against it as a literal
+    # (same float32-widened doubles the oracle casts), no 1-row scan/broadcast/join
+    sim = cosine(F.col("embedding"), F.lit(qe))
     return (
         assign.where(F.col("cid").isin(probe_cids))
-        .crossJoin(F.broadcast(q))
         .select("vec_id", sim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(TOP_K)

@@ -81,5 +81,7 @@ def test_ann_build_passes_have_no_shuffle(spark):
         plan = _plan(spark, name)
         exchanges = [l for l in plan.splitlines() if "Exchange" in l]
         assert all("BroadcastExchange" in l for l in exchanges), f"{name} shuffles:\n{plan}"
-        assert len(exchanges) == 1, f"{name} has {len(exchanges)} exchanges:\n{plan}"
+        # IVF scores against a literal query vector (0 exchanges); LSH broadcasts the
+        # 1-row query (its bucket is data-dependent) — never more than that
+        assert len(exchanges) <= 1, f"{name} has {len(exchanges)} exchanges:\n{plan}"
         assert "Window" not in plan and "Generate" not in plan, name
