@@ -291,3 +291,58 @@ def x9_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens"),
         )
     )
+
+
+@register(
+    "x9_boilerplate",
+    f"""
+    WITH ds AS (
+        SELECT DISTINCT d.doc_id, sh
+        FROM documents d, unnest({_tok.duck_shingles(_tok.duck_tokens('text'), 3)}) AS t(sh)
+    ),
+    dh AS (SELECT doc_id, {_tok.duck_hash32('sh')} AS h FROM ds),
+    freq AS (SELECT h, COUNT(*) AS df FROM dh GROUP BY h),
+    per_doc AS (
+        SELECT dh.doc_id,
+               CAST(COUNT(CASE WHEN freq.df > 3 THEN 1 END) AS DOUBLE) / COUNT(*) AS br
+        FROM dh JOIN freq USING (h) GROUP BY dh.doc_id
+    )
+    SELECT d.source, COUNT(*) AS docs,
+           FLOOR(CAST(SUM(CAST(br AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0
+               AS avg_boiler_ratio
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+    doc=(
+        "Boilerplate scoring (CCNet-style, shingle-level since the fixtures have no "
+        "line structure): a doc's boilerplate ratio = fraction of its distinct "
+        "3-shingles appearing in > 3 docs (threshold sized to the fixtures' DF tail). "
+        "The corpus-wide shingle DF census is the "
+        "same inverted index the Jaccard dedup builds — partial-aggregated, "
+        "vocabulary-sized shuffle — and the per-doc ratio joins on the 8-byte shingle "
+        "hash. Averages go through DECIMAL for cross-engine agreement."
+    ),
+)
+def x9_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.ops.dedup import _doc_shingles
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h"))
+    freq = dh.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        dh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.when(F.col("df") > 3, 1)).cast("double") / F.count("*")).alias("br")
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            round_det(
+                F.sum(F.col("br").cast("decimal(18,9)")).cast("double") / F.count("*"), 4
+            ).alias("avg_boiler_ratio"),
+        )
+    )
