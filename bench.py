@@ -80,21 +80,8 @@ def main() -> None:
     warm_sec = time.perf_counter() - t0
     cache_stats = _manager(spark, sf_dir).stats()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        q = registry[name]
-        best = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            _consume(q.builder(spark, sf_dir))
-            best.append(time.perf_counter() - t0)
-        # min, not mean: this box's virtualized CPU stalls whole runs 3-5x at random
-        # (measured back-to-back suite spreads of 0.89 vs 1.31 avg on identical code);
-        # min-of-N is the standard noise-resistant estimate of what the engine does
-        timings[name] = round(min(best), 4)
-
-    # reference methodology (perf/perf.go:37-70): N concurrent identical runs of the
-    # headline query, report avg wall-clock — exercises the scheduler under contention
+    # concurrency phase also runs pre-loop for the same clean-JVM reason (perf/perf.go
+    # methodology: N concurrent identical runs of the headline query)
     import concurrent.futures as cf
 
     n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
@@ -107,6 +94,19 @@ def main() -> None:
 
     with cf.ThreadPoolExecutor(max_workers=n_conc) as ex:
         conc_times = list(ex.map(one_run, range(n_conc)))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = registry[name]
+        best = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _consume(q.builder(spark, sf_dir))
+            best.append(time.perf_counter() - t0)
+        # min, not mean: this box's virtualized CPU stalls whole runs 3-5x at random
+        # (measured back-to-back suite spreads of 0.89 vs 1.31 avg on identical code);
+        # min-of-N is the standard noise-resistant estimate of what the engine does
+        timings[name] = round(min(best), 4)
 
     # eviction-under-pressure stress (rubix-stress/rubix_stressor.py:54-70 analog):
     # cache budget sized BELOW the working set, concurrent readers cycling the tables —
