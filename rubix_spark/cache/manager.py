@@ -225,31 +225,33 @@ class CacheManager:
         groups (merged with any already-cached subset), one local parquet per group."""
         if not self.cacheable(remote_path) or self.dummy:
             return None
-        import pyarrow.parquet as pq
-
         key = self._rg_key(remote_path)
         mtime, rsize = _mtime_size(remote_path)
         prev = self.manifest.get(key)
         have = set(prev.row_groups or []) if prev is not None and self._fresh(prev, remote_path) else set()
         want = sorted(set(row_groups) | have)
         gen = self.manifest.next_generation(key)
-        local = self._local_dir(remote_path, gen)
+        # the local dir derives from the manifest KEY (…#rg), not the raw remote path:
+        # whole-file and row-group granularities of one path must never share a
+        # directory, or the whole-file hit path would read the rg_* subset files too
+        # (silently duplicated rows) and invalidating either granularity would rmtree
+        # the other's live data
+        local = self._local_dir(key, gen)
         os.makedirs(local, exist_ok=True)
-        pf = pq.ParquetFile(remote_path)
-        for i in [g for g in want if g in have]:
-            shutil.copy2(
-                os.path.join(prev.local_path, f"rg_{i:05d}.parquet"),
-                os.path.join(local, f"rg_{i:05d}.parquet"),
-            )
+        fetch = set(want) - have
+        for i in sorted(have & set(want)):
+            try:
+                shutil.copy2(
+                    os.path.join(prev.local_path, f"rg_{i:05d}.parquet"),
+                    os.path.join(local, f"rg_{i:05d}.parquet"),
+                )
+            except (FileNotFoundError, NotADirectoryError):
+                # a concurrent evict/invalidate deleted prev's dir between the manifest
+                # read and the copy — the group is simply not-have; refetch from remote
+                fetch.add(i)
         # collated fetch (A4): one backend read per contiguous run, sliced back into
         # per-group local files (the serving granularity)
-        for run in self.collate([i for i in want if i not in have]):
-            tbl = pf.read_row_groups(run)
-            offset = 0
-            for i in run:
-                n = pf.metadata.row_group(i).num_rows
-                pq.write_table(tbl.slice(offset, n), os.path.join(local, f"rg_{i:05d}.parquet"))
-                offset += n
+        self._fetch_runs(remote_path, local, self.collate(sorted(fetch)))
         size = sum(os.path.getsize(os.path.join(local, f)) for f in os.listdir(local))
         committed = self.manifest.put(
             Entry(
@@ -273,12 +275,50 @@ class CacheManager:
         self.evict_to_budget()
         return local
 
+    def _fetch_runs(self, remote_path: str, local: str, runs: list[list[int]]) -> None:
+        """A19's parallel downloader at row-group granularity: each collated run is an
+        independent EXECUTOR task (``FileDownloader.java:194-239`` fans chunks across a
+        thread pool; here the fan-out is a Spark job, so at cluster scale each run is
+        fetched by whichever executor owns the split — the driver never materializes
+        data). Sessionless callers (the DataSource planner worker) fetch inline.
+
+        Local-mode note: executors share the driver's filesystem, so writes to ``local``
+        are immediately servable; on a real cluster ``local`` must be a shared or
+        per-node cache mount (docs/LOCALITY.md covers the deployment shape).
+        """
+
+        def fetch(run: list[int]) -> int:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(remote_path)
+            tbl = pf.read_row_groups(run)
+            offset = 0
+            for i in run:
+                n = pf.metadata.row_group(i).num_rows
+                pq.write_table(tbl.slice(offset, n), os.path.join(local, f"rg_{i:05d}.parquet"))
+                offset += n
+            return len(run)
+
+        if not runs:
+            return
+        if self.spark is not None:
+            sc = self.spark.sparkContext
+            sc.parallelize(runs, len(runs)).map(fetch).collect()
+        else:
+            for run in runs:
+                fetch(run)
+
     def read_row_groups(self, remote_path: str, row_groups: list[int], warm_on_miss: bool = True) -> DataFrame:
         """Serve specific row groups: from the cached subset when it covers the request
-        and is fresh, else warm-through (or raw remote when warming is off/gated)."""
+        and is fresh, else warm-through (or raw remote when warming is off/gated).
+        TTL expiry applies exactly as in ``read()`` (A16 expireAfterWrite parity)."""
         key = self._rg_key(remote_path)
         want = sorted(set(row_groups))
         entry = self.manifest.get(key)
+        if entry is not None and entry.state == CACHED and self.ttl_seconds is not None:
+            if time.time() - entry.last_access > self.ttl_seconds:
+                self.invalidate(key)
+                entry = None
         if entry is not None and entry.state == CACHED and set(want) <= set(entry.row_groups or []):
             if self._fresh(entry, remote_path):
                 self.manifest.touch(key)

@@ -110,6 +110,13 @@ def _ivf_codebook(emb: DataFrame, extra_ids: tuple[int, ...] = ()) -> tuple[dict
     top = max([N_CENTROIDS - 1, *extra_ids])
     rows = emb.where(F.col("vec_id") <= top).select("vec_id", "embedding").collect()
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    missing = sorted(set(extra_ids) - set(vecs))
+    if missing or not vecs:
+        raise ValueError(
+            f"embeddings fixture is missing required vec_ids {missing or 'all'} "
+            f"(codebook needs vec_id < {N_CENTROIDS} plus query ids {sorted(extra_ids)}; "
+            f"got {len(vecs)} of the first {top + 1})"
+        )
     cents = {vid: v for vid, v in vecs.items() if vid < N_CENTROIDS}
     extras = {vid: vecs[vid] for vid in extra_ids}
     return cents, extras
