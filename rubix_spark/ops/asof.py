@@ -3,26 +3,39 @@
 Semantics: for each left row, attach the most recent right row with the same key and
 ``right.ts <= left.ts`` (backward as-of).  Two implementations, same results:
 
-- ``asof_join()`` — Arrow-batched ``applyInPandas`` running ``pd.merge_asof`` per key
-  group: the *scale path*.  One shuffle co-partitions both sides by key; each group is
-  sorted and merged in O(n log n) pandas/numpy, never a row-multiplying range join.
-- the oracle restates it relationally (equi-join + MAX over the ts inequality), which is
-  what you'd write in SQL but multiplies rows before aggregating — correct, slower.
+- ``asof_join()`` — Arrow-batched ``applyInPandas`` running ``pd.merge_asof(by=key)``
+  over COARSE key buckets (not per-key groups): one shuffle co-partitions both sides
+  into ``n_buckets`` pandas batches, each holding thousands of keys, so Python dispatch
+  count is O(buckets), never O(distinct keys).  (The round-2 per-key cogroup paid one
+  interpreter round-trip per user — 4.6 s at sf0.1, the suite's slowest query.)
+- ``x7_asof_join`` (registered) — the pure-JVM formulation: one scan of events, one
+  shuffle on the key, and a running ``last(click_ts) IGNORE NULLS`` window — zero
+  Python, whole-stage-codegen end to end.  This is the shape to ship at 100 TB.
 
-The registered query as-of joins purchase events to each user's most recent prior click.
+The oracle restates it relationally (equi-join + MAX over the ts inequality), which is
+what you'd write in SQL but multiplies rows before aggregating — correct, slower.
+
+The registered queries as-of join purchase events to each user's most recent prior click.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rubix_spark import catalog
 from rubix_spark.queries import register
+
+_ASOF_ORACLE = """
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id, MAX(c.ts) AS click_ts
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    GROUP BY p.user_id, p.event_id
+    """
 
 
 def asof_join(
@@ -32,66 +45,113 @@ def asof_join(
     by: str,
     right_value_cols: list[str] | None = None,
     suffix: str = "_r",
+    n_buckets: int = 32,
 ) -> DataFrame:
-    """Backward as-of join via co-grouped applyInPandas (pd.merge_asof per key).
+    """Backward as-of join via bucketed co-grouped applyInPandas (pd.merge_asof by=key).
 
     Output = all left columns, plus the matched right timestamp as ``{on}{suffix}``, plus
-    ``{c}{suffix}`` for each requested right value column.  The right's ``on`` column is
-    renamed Spark-side before the cogroup — duplicating it with an alias instead would
-    get deduplicated/pruned by Catalyst before it reaches the Python worker.
+    ``{c}{suffix}`` for each requested right value column.  Both sides cogroup on
+    ``hash(by) % n_buckets`` so each pandas call merges MANY keys at once
+    (``pd.merge_asof(..., by=by)`` handles the per-key semantics internally in C) —
+    per-call interpreter overhead amortizes over the whole bucket instead of repeating
+    per key.  The right's ``on`` column is renamed Spark-side before the cogroup —
+    duplicating it with an alias instead would get deduplicated/pruned by Catalyst
+    before it reaches the Python worker.
     """
     right_value_cols = list(right_value_cols or [])
     ron = f"{on}{suffix}"
     l_cols = left.columns
     r_schema = dict(right.dtypes)
+    out_cols = l_cols + [ron] + [f"{c}{suffix}" for c in right_value_cols]
+    clash = sorted(set(out_cols[len(l_cols):]) & set(l_cols))
+    if clash:
+        raise ValueError(f"suffix {suffix!r} collides with left columns {clash}")
     out_fields = ", ".join(f"{c} {t}" for c, t in left.dtypes)
     out_fields += f", {ron} {r_schema[on]}"
     out_fields += "".join(f", {c}{suffix} {r_schema[c]}" for c in right_value_cols)
-    out_cols = l_cols + [ron] + [f"{c}{suffix}" for c in right_value_cols]
 
-    right2 = right.withColumnRenamed(on, ron)
+    # EVERY right column is re-aliased to a fresh, distinct name before the cogroup.
+    # When left and right derive from the same scan they share attribute exprIds, and
+    # Spark's relation dedup silently drops the right's same-named columns from the
+    # cogroup child (observed: the key column vanishing from the pandas frame); fresh
+    # aliases with new names sidestep it, and the pandas side never needs a rename.
+    rb = right.select(
+        F.col(by).alias("_asof_by"),
+        F.col(on).alias(ron),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
 
     def merge(key, lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
         if lp.empty:
             return pd.DataFrame(columns=out_cols)
-        lp = lp.sort_values(on, kind="mergesort")
+        lp = lp.drop(columns=["_asof_bucket"]).sort_values(on, kind="mergesort")
         if rp.empty:
             merged = lp.copy()
             for c in out_cols[len(l_cols):]:
                 merged[c] = None
             return merged[out_cols]
-        rp = rp.sort_values(ron, kind="mergesort")[[ron] + right_value_cols]
+        rp = rp.drop(columns=["_asof_bucket"]).sort_values(ron, kind="mergesort")
         merged = pd.merge_asof(
-            lp, rp, left_on=on, right_on=ron, direction="backward", suffixes=("", suffix)
+            lp, rp, left_on=on, right_on=ron, left_by=by, right_by="_asof_by",
+            direction="backward",
         )
-        for c in right_value_cols:
-            if c in merged.columns and f"{c}{suffix}" not in merged.columns:
-                merged = merged.rename(columns={c: f"{c}{suffix}"})
         return merged[out_cols]
 
+    # the bucket is materialized as a NAMED column on each side independently —
+    # grouping both sides by one shared expression object mis-binds on self-derived
+    # frames for the same exprId reason
+    lb = left.withColumn("_asof_bucket", F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)))
+    rb = rb.withColumn("_asof_bucket", F.pmod(F.xxhash64(F.col("_asof_by")), F.lit(n_buckets)))
     return (
-        left.groupBy(by)
-        .cogroup(right2.groupBy(by))
+        lb.groupBy("_asof_bucket")
+        .cogroup(rb.groupBy("_asof_bucket"))
         .applyInPandas(merge, schema=out_fields)
     )
 
 
 @register(
     "x7_asof_join",
-    """
-    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
-    SELECT p.user_id, p.event_id, MAX(c.ts) AS click_ts
-    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
-    GROUP BY p.user_id, p.event_id
-    """,
+    _ASOF_ORACLE,
     doc=(
-        "Backward as-of join (purchase → most recent prior click per user) via "
-        "pd.merge_asof in co-grouped applyInPandas; one co-partitioning shuffle on "
-        "user_id, per-group sorted merge — no row-multiplying range join at scale."
+        "Backward as-of join (purchase → most recent prior click per user), pure-JVM "
+        "formulation: ONE scan of events (both event types), one shuffle on user_id, "
+        "and a running last(click_ts) IGNORE NULLS window ordered by (ts, event_type) "
+        "so same-ts clicks sort before purchases (ts <= semantics). Zero Python, "
+        "whole-stage codegen; at 100 TB the only cost is the single keyed shuffle."
     ),
 )
 def x7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        catalog.table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    # 'click' < 'purchase' lexically, so ordering by (ts, event_type) puts a click at
+    # the exact purchase timestamp BEFORE the purchase — the backward-inclusive match
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True)
+    return (
+        ev.withColumn("click_ts", click_ts.over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "click_ts")
+    )
+
+
+@register(
+    "x7_asof_join_pandas",
+    _ASOF_ORACLE,
+    doc=(
+        "The generic asof_join() operator (bucketed cogroup + pd.merge_asof(by=key)) on "
+        "the same purchase→click task — the Arrow path for callers whose as-of logic "
+        "doesn't reduce to a window (e.g. nearest-tolerance joins). 32 pandas batches "
+        "total, each merging all its users in one C-level merge_asof."
+    ),
+)
+def x7_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.table(spark, sf_dir, "events")
     purchases = events.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
     clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")

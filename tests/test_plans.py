@@ -72,6 +72,25 @@ def test_range_join_is_bucketized_equi_join(spark):
     assert "bucket" in plan
 
 
+def test_asof_join_is_pure_jvm_single_shuffle(spark):
+    """X7 as-of join: the registered plan is scan → one hash exchange on user_id →
+    sort+window — NO Python evaluation anywhere (the round-2 per-key cogroup paid one
+    interpreter dispatch per user: 4.6 s at sf0.1, the suite's slowest query)."""
+    plan = _plan(spark, "x7_asof_join")
+    assert "InPandas" not in plan and "Python" not in plan, plan
+    assert "Window" in plan
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1, plan
+
+
+def test_asof_pandas_path_batches_keys_per_bucket(spark):
+    """The generic Arrow as-of operator must dispatch per BUCKET (32 pandas calls),
+    not per key: the cogroup's grouping expression is the bucket hash."""
+    plan = _plan(spark, "x7_asof_join_pandas")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "_asof_bucket" in plan
+
+
 def test_ann_build_passes_have_no_shuffle(spark):
     """X2: IVF centroid assignment and LSH bucketing are map-only projections over
     broadcast constants — the ONLY Exchange in either plan is the 1-row query-vector
