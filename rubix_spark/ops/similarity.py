@@ -87,6 +87,57 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x2_ann_bruteforce_np",
+    None,  # rows-only: BLAS matmul sums in SIMD order — last-ulp diff vs the sequential oracle
+    doc=(
+        "Vectorized scale path for exact top-k: mapInPandas numpy kernel scores each "
+        "Arrow batch with one matvec (BLAS, C loop) and keeps a per-partition top-k "
+        "heap, so the driver-side merge sees only k rows per partition — the same "
+        "economics as TakeOrderedAndProject but ~10-100x the interpreted HOF fold of "
+        "x2_ann_bruteforce, which remains the oracle-exact proof. Rows-only gate "
+        "(BLAS summation order differs from the sequential oracle in the last ulp)."
+    ),
+)
+def ann_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    row = emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    if row is None:
+        raise ValueError(f"embeddings fixture is missing query vec_id {QUERY_VEC_ID}")
+    import numpy as np
+
+    q = np.asarray(row.embedding, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    k = TOP_K
+
+    def topk_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.empty(0, dtype=np.int64)
+        sims = np.empty(0, dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            s = (m @ qn) / np.where(nrm == 0.0, 1.0, nrm)
+            ids = np.concatenate([ids, pdf["vec_id"].to_numpy()])
+            sims = np.concatenate([sims, s])
+            if len(ids) > 8 * k:  # cap scratch: re-prune between batches
+                order = np.lexsort((ids, -sims))[:k]
+                ids, sims = ids[order], sims[order]
+        if len(ids):
+            order = np.lexsort((ids, -sims))[:k]
+            yield pd.DataFrame(
+                {"vec_id": ids[order],
+                 "sim": np.floor(sims[order] * 10000 + 0.5) / 10000.0}
+            )
+
+    part = emb.mapInPandas(topk_partition, "vec_id bigint, sim double")
+    return part.orderBy(F.col("sim").desc(), "vec_id").limit(k)
+
+
 # ---------------------------------------------------------------------------
 # IVF-lite probe
 # ---------------------------------------------------------------------------
