@@ -17,10 +17,13 @@ atomically; generation numbers survive restarts exactly like the ``_g<N>`` file 
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import shutil
 import threading
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 
 
@@ -46,12 +49,23 @@ class Entry:
 
 
 class Manifest:
-    """Thread-safe, JSON-persisted map of cached files.
+    """Thread-safe AND multi-writer-safe, JSON-persisted map of cached files.
+
+    Several processes (concurrent Spark apps sharing one cache dir — the reference's
+    BookKeeper serving many engines, ``BookKeeper.java:248-353``) may hold independent
+    ``Manifest`` objects over the same path.  Every structural mutation
+    (``next_generation``/``put``/``remove``) takes an exclusive ``flock`` on
+    ``<path>.lock``, reloads disk state, applies the change, and atomically rewrites —
+    so the generation counter is a true cross-process CAS: two writers warming the same
+    remote path get DIFFERENT generations and only the later one's ``put`` commits
+    (``BookKeeper.java:413-453`` semantics).  Readers detect out-of-band changes via a
+    cheap stat signature and reload.
 
     ``touch()`` (the per-cache-hit LRU timestamp) is in-memory with periodic flush —
     a synchronous whole-manifest rewrite per hit would throttle the read path at
-    thousands of entries. Lost touches on crash only age LRU ordering, never
-    correctness; structural mutations (put/remove/generation) always flush.
+    thousands of entries. Lost touches on crash or reload only age LRU ordering, never
+    correctness (reloads keep the max of disk/memory timestamps); structural mutations
+    always flush.
     """
 
     TOUCH_FLUSH_INTERVAL = 5.0  # seconds between touch-driven flushes
@@ -65,14 +79,51 @@ class Manifest:
         self._generations: dict[str, int] = {}
         self._dirty_touches = 0
         self._last_flush = time.time()
+        self._disk_sig: tuple[int, int] | None = None
         self._load()
 
+    @contextmanager
+    def _file_lock(self):
+        """Exclusive cross-process lock (the BookKeeper's single-writer section)."""
+        fd = os.open(self._path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _stat_sig(self) -> tuple[int, int] | None:
+        try:
+            st = os.stat(self._path)
+            return (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            return None
+
     def _load(self) -> None:
-        if os.path.exists(self._path):
+        sig = self._stat_sig()
+        if sig is not None:
             with open(self._path) as f:
                 raw = json.load(f)
             self._entries = {k: Entry(**v) for k, v in raw.get("entries", {}).items()}
             self._generations = dict(raw.get("generations", {}))
+        self._disk_sig = sig
+
+    def _refresh_locked(self) -> None:
+        """Reload disk state (caller holds the file lock), keeping the max of disk and
+        in-memory last_access per key so pending touches don't regress LRU order."""
+        old_access = {k: e.last_access for k, e in self._entries.items()}
+        self._load()
+        for k, e in self._entries.items():
+            prev = old_access.get(k)
+            if prev is not None and prev > e.last_access:
+                e.last_access = prev
+
+    def _maybe_refresh(self) -> None:
+        """Reader-side: pick up another process's committed changes (stat-cheap)."""
+        if self._stat_sig() != self._disk_sig:
+            with self._file_lock():
+                self._refresh_locked()
 
     def _save(self) -> None:
         tmp = self._path + ".tmp"
@@ -85,11 +136,13 @@ class Manifest:
                 f,
             )
         os.replace(tmp, self._path)
+        self._disk_sig = self._stat_sig()
         self._dirty_touches = 0
         self._last_flush = time.time()
 
     def get(self, remote_path: str) -> Entry | None:
         with self._lock:
+            self._maybe_refresh()
             return self._entries.get(remote_path)
 
     def touch(self, remote_path: str) -> None:
@@ -99,32 +152,48 @@ class Manifest:
                 e.last_access = time.time()
                 self._dirty_touches += 1
                 if time.time() - self._last_flush >= self.TOUCH_FLUSH_INTERVAL:
-                    self._save()
+                    with self._file_lock():
+                        self._refresh_locked()
+                        self._save()
 
     def flush(self) -> None:
         """Force pending touch timestamps to disk (shutdown/test hook)."""
         with self._lock:
             if self._dirty_touches:
-                self._save()
+                with self._file_lock():
+                    self._refresh_locked()
+                    self._save()
 
     def next_generation(self, remote_path: str) -> int:
-        with self._lock:
+        with self._lock, self._file_lock():
+            self._refresh_locked()
             g = self._generations.get(remote_path, 0) + 1
             self._generations[remote_path] = g
             self._save()
             return g
 
     def put(self, entry: Entry) -> bool:
-        """Commit an entry iff its generation is current (CAS — BookKeeper.java:427-431)."""
-        with self._lock:
+        """Commit an entry iff its generation is current (CAS — BookKeeper.java:427-431).
+
+        The check runs against RELOADED disk state under the file lock, so a writer
+        whose generation was surpassed by another process loses the race here."""
+        with self._lock, self._file_lock():
+            self._refresh_locked()
             if entry.generation != self._generations.get(entry.remote_path, 0):
                 return False
+            prev = self._entries.get(entry.remote_path)
             self._entries[entry.remote_path] = entry
             self._save()
+            # a superseded earlier-generation commit (another writer that raced and
+            # landed first) is unreachable after this point — reclaim its copy here,
+            # the only place that still sees it (same lazy-reader hazard as invalidate)
+            if prev is not None and prev.local_path != entry.local_path:
+                shutil.rmtree(prev.local_path, ignore_errors=True)
             return True
 
     def remove(self, remote_path: str) -> Entry | None:
-        with self._lock:
+        with self._lock, self._file_lock():
+            self._refresh_locked()
             e = self._entries.pop(remote_path, None)
             if e:
                 self._save()
@@ -132,8 +201,10 @@ class Manifest:
 
     def entries(self) -> list[Entry]:
         with self._lock:
+            self._maybe_refresh()
             return list(self._entries.values())
 
     def total_bytes(self) -> int:
         with self._lock:
+            self._maybe_refresh()
             return sum(e.size_bytes for e in self._entries.values())
