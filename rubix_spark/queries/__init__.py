@@ -66,8 +66,11 @@ PRIORITY: tuple[str, ...] = (
     # X9 LLM-pipeline ops (+ the end-to-end composition showcase)
     "x9_chunk", "x9_repetition", "x9_sample_strata", "x9_train_test",
     "x9_contamination", "x9_e2e_pipeline", "x9_pii_redact",
-    # S1/S2 structured streaming
-    "s1_stream_sliding", "s2_stream_session",
+    # S1/S2 structured streaming — the S1 plan's windowed row is the DURABLE-sink
+    # variant (foreachBatch→parquet + checkpoint restart, result read back from the
+    # sink): identical window semantics to s1_stream_sliding (which stays registered
+    # and repo-oracle-gated) with the production sink story driver-proven
+    "s6_stream_durable_sink", "s2_stream_session",
     # C1/C2 cache layer (§2.A driver proof)
     "c1_cached_star_join", "c2_datasource_scan",
 )

@@ -18,6 +18,7 @@ for custom gap logic; not needed for the declared semantics.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,6 +143,56 @@ def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(spark, session_stats(read_events_stream(spark, sf_dir)))
+
+
+@register(
+    "s6_stream_durable_sink",
+    """
+    WITH w AS (
+        SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000
+                              - g.i * 300000000) AS ws,
+               event_type, value, ts
+        FROM events, generate_series(0, 1) g(i)
+    )
+    SELECT ws, event_type, COUNT(*) AS c,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS v
+    FROM w
+    GROUP BY ws, event_type
+    """,
+    doc=(
+        "The S1 sliding-window plan run through the PRODUCTION sink shape: foreachBatch "
+        "writing parquet with a checkpointLocation, then a second start() against the "
+        "same checkpoint (a restart: resumes, finds no new input, terminates — the "
+        "exactly-once recovery path), and the returned result is read back from the "
+        "DURABLE parquet sink, not a memory table. Deployment would swap "
+        "trigger(availableNow) for a processingTime trigger; plan, sink and checkpoint "
+        "story are identical."
+    ),
+)
+def s6_stream_durable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "rubix_spark_stream", uuid.uuid4().hex[:12])
+    out_dir, ckpt_dir = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        # complete-mode batches carry the full current result — overwrite makes the
+        # sink idempotent under retries (the foreachBatch exactly-once recipe)
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    for _ in range(2):  # second start = checkpoint restart with no new input
+        q = (
+            sliding_counts(read_events_stream(spark, sf_dir))
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:
