@@ -56,8 +56,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JVM JIT, parquet footer caches, Python worker pool
+    # untimed warmup: JVM JIT, parquet footer caches, Python worker pool (the UDF query
+    # forks the Arrow worker daemons once, so no timed query pays the spawn)
     _consume(registry["q4_star_join"].builder(spark, sf_dir))
+    _consume(registry["x4_udf_scalar"].builder(spark, sf_dir))
 
     # cold vs warm cache protocol (BASELINE.md §3) runs FIRST, in a clean JVM: measured
     # after the 80-query loop it absorbs multi-second GC pauses from the bloated heap

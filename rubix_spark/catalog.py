@@ -46,11 +46,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, read as int64 nanos (see
     ``ensure_session_confs``) and converted here — fixture nanos are µs-aligned, so the
     DIV 1000 is lossless.
+
+    The DataFrame (a lazy plan + resolved FileIndex) is memoized per (session, dir,
+    name): every ``spark.read.parquet`` call re-lists the path and re-reads a footer
+    for schema inference — pure driver latency repeated per query over immutable
+    fixtures. The memo lives ON the session object so it can never outlive it or leak
+    across sessions (the driver harness supplies its own session per round).
     """
+    memo = getattr(spark, "_rubix_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_table_memo = memo
+    key = (sf_dir.rstrip("/"), name)
+    df = memo.get(key)
+    if df is not None:
+        return df
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
+    memo[key] = df
     return df
 
 
