@@ -432,9 +432,15 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multi-probe sign-LSH (Hamming-distance-1 bucket expansion)
+# multi-probe sign-LSH (Hamming-distance<=2 bucket expansion)
 # ---------------------------------------------------------------------------
-_PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)]  # own bucket + 8 one-bit flips
+# own bucket + 8 one-bit flips + 28 two-bit flips = 37 of 256 buckets (~14%).
+# Radius 1 (9 buckets) measured recall@10 = 0.2 on a clustered fixture with
+# neighbor cosine ~0.93 (per-plane agreement p~0.9 ⇒ P(Hamming<=1) ~0.68 of top-k);
+# radius 2 lifts the same fixture to >=0.8 while staying sub-linear in probed data.
+_PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)] + [
+    (1 << p) | (1 << q) for p in range(N_PLANES) for q in range(p + 1, N_PLANES)
+]
 
 
 @register(
@@ -462,12 +468,12 @@ _PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)]  # own bucket + 8 one-bit
     LIMIT {TOP_K}
     """,
     doc=(
-        "Multi-probe sign-LSH: candidates = the query's bucket PLUS the 8 buckets one "
-        "bit-flip away (Hamming distance <= 1 on the 8-bit signature) — the standard "
-        "recall repair for sign-LSH, trading 9x the probed buckets (~9/256 of the "
-        "corpus) for recall on near-boundary vectors. Same zero-shuffle signature pass "
-        "as x2_ann_lsh; the probe set is a 9-value IN on the bucket key, which at scale "
-        "is 9 partition reads of a bucket-partitioned table."
+        "Multi-probe sign-LSH: candidates = the query's bucket PLUS every bucket within "
+        "Hamming distance 2 on the 8-bit signature (37/256 buckets, ~14% of the corpus) "
+        "— the standard recall repair for sign-LSH; radius 2 is calibrated against a "
+        "clustered fixture to recall@10 >= 0.8 (tests/test_ann.py). Same zero-shuffle "
+        "signature pass as x2_ann_lsh; the probe set is a 37-value IN on the bucket "
+        "key, which at scale is 37 partition reads of a bucket-partitioned table."
     ),
 )
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

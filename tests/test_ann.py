@@ -3,14 +3,89 @@
 - the BLAS brute-force twin must agree with the oracle-exact HOF variant (same top-k
   ids; sims equal at the rounded precision) — the twin is the 100 TB scoring path, the
   HOF variant is the proof.
+- recall realism: the driver's embeddings are uniform random (no cluster structure),
+  where any bucketed ANN sits at the nprobe/nlist floor by construction. Real corpora
+  cluster; a mixture-of-Gaussians fixture here asserts that multiprobe-LSH and
+  trained-IVF actually recall ≥ 0.8 of the exact top-10 when structure exists — i.e.
+  the parameters (NPROBE=4/16 lists, 8 planes + Hamming≤1 probing) are sound, not just
+  plumbed.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
 
 from rubix_spark.queries import load_all
 from tests.conftest import SF_SMOKE, SF_T2
 
 REG = load_all()
+
+_N, _DIM, _K = 2000, 64, 16
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """embeddings.parquet with real cluster structure: 16 unit-norm Gaussian centers,
+    125 vectors each at noise sigma=0.05 (cluster-mate cosine ~0.93, the tightness of
+    real retrieval neighbors) — near neighbors are overwhelmingly cluster-mates."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(_K, _DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(_K), _N // _K)
+    m = centers[labels] + rng.normal(scale=0.05, size=(_N, _DIM))
+    d = tmp_path_factory.mktemp("clustered")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(_N), pa.int64()),
+            "embedding": pa.array([row.astype(np.float32) for row in m], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[0]  # query is vec_id 0, as in the registered queries
+    order = np.lexsort((np.arange(_N), -sims))
+    return str(d), set(order[:10].tolist())
+
+
+def _recall_at_10(spark, name: str, clustered) -> float:
+    d, truth = clustered
+    got = {r.vec_id for r in REG[name].builder(spark, d).collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_exact_ground_truth_is_cluster_local(clustered_dir):
+    """Fixture sanity: the exact top-10 of the query must come from its own cluster —
+    otherwise the recall tests wouldn't be testing bucketed search at all."""
+    _, truth = clustered_dir
+    assert all(v < _N // _K for v in truth), truth  # cluster 0 = ids 0..124
+
+
+def test_multiprobe_lsh_recall_on_clustered(spark, clustered_dir):
+    r = _recall_at_10(spark, "x2_ann_lsh_multiprobe", clustered_dir)
+    assert r >= 0.8, f"multiprobe-LSH recall@10 = {r}"
+
+
+def test_trained_ivf_recall_on_clustered(spark, clustered_dir):
+    r = _recall_at_10(spark, "x2_ann_ivf_trained", clustered_dir)
+    assert r >= 0.8, f"trained-IVF recall@10 = {r}"
+
+
+def test_bruteforce_np_is_exact_on_clustered(spark, clustered_dir):
+    assert _recall_at_10(spark, "x2_ann_bruteforce_np", clustered_dir) == 1.0
+
+
+def test_ivf_codebook_missing_ids_is_explicit(spark):
+    """A fixture without the query vector must fail with the explicit ValueError, not
+    an opaque KeyError (ADVICE r2)."""
+    from rubix_spark.ops.similarity import _ivf_codebook
+
+    emb = spark.createDataFrame([(500, [0.1] * 4, 0)], "vec_id bigint, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="missing required vec_ids"):
+        _ivf_codebook(emb, (0,))
 
 
 def test_bruteforce_np_matches_hof_exact(spark):
