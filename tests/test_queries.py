@@ -57,3 +57,12 @@ def test_trained_ivf_recall(spark):
     recall = len(set(exact) & approx) / len(exact)
     assert recall >= 0.2, f"recall {recall} below nprobe/nlist floor: exact={exact}, approx={approx}"
     assert 0 in approx  # the query vector's own bucket must always be probed
+
+
+def test_approx_distinct_within_rsd(spark):
+    """x6 (rows-only gate): the HLL++ estimate must sit within its configured rsd of
+    the exact distinct count it carries alongside — the deterministic repo-side check
+    backing the weaker driver gate."""
+    row = REGISTRY["x6_approx_distinct"].builder(spark, SF).collect()[0]
+    assert row.exact_dc > 0
+    assert abs(row.approx_dc - row.exact_dc) <= 3 * 0.02 * row.exact_dc, row
