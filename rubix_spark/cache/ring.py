@@ -53,6 +53,9 @@ def split_owners(
 
 
 def executor_hosts(spark) -> list[str]:
-    """Current executor hosts from the status tracker (ClusterManager.getNodes analog)."""
-    infos = spark.sparkContext.statusTracker().getExecutorInfos()
-    return sorted({i.host() for i in infos})
+    """Current executor hosts from the status tracker (ClusterManager.getNodes analog).
+
+    Python's StatusTracker wrapper doesn't expose executor infos — go through the JVM
+    tracker (a Java array of SparkExecutorInfo via py4j)."""
+    infos = spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()
+    return sorted({infos[i].host() for i in range(len(infos))})
