@@ -83,11 +83,16 @@ def main() -> None:
     cache_stats = _manager(spark, sf_dir).stats()
 
     # concurrency phase also runs pre-loop for the same clean-JVM reason (perf/perf.go
-    # methodology: N concurrent identical runs of the headline query)
+    # methodology: N concurrent identical runs of the headline query). perf.go drives
+    # the Presto CLI with SQL TEXT per run, so the faithful analog is the registered
+    # SQL-text twin of q4 (one Py4J call per submission); driving the DataFrame builder
+    # from N threads instead serializes N× Python plan construction on the GIL and
+    # measures the client, not the engine (~0.7 s/run slower at n=8, measured).
     import concurrent.futures as cf
 
     n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
-    head = registry["q4_star_join"]
+    head = registry["q4_star_join_sql"]
+    _consume(head.builder(spark, sf_dir))  # untimed: registers views, JITs the plan
 
     def one_run(_):
         t0 = time.perf_counter()
@@ -164,7 +169,7 @@ def main() -> None:
         "queries": {n: round(t, 3) for n, t in timings.items()},
         "sf": sf_val,
         "concurrent": {
-            "query": "q4_star_join",
+            "query": "q4_star_join_sql",
             "n": n_conc,
             "avg_sec": round(sum(conc_times) / len(conc_times), 4),
             "max_sec": round(max(conc_times), 4),

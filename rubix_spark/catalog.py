@@ -75,6 +75,19 @@ def load(spark: SparkSession, sf_dir: str, names: tuple = TABLES) -> dict[str, D
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple = TABLES) -> None:
-    """Register the fixture tables as (replaceable) temp views for spark.sql()."""
+    """Register the fixture tables as (replaceable) temp views for spark.sql().
+
+    Memoized per (session, sf_dir, name) like ``table`` — SQL-text queries call this on
+    every build, and re-registering an identical view per query is pure driver latency.
+    A different ``sf_dir`` for the same view name re-registers (the memo records where
+    each view currently points).
+    """
+    memo = getattr(spark, "_rubix_view_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_view_memo = memo
+    key = sf_dir.rstrip("/")
     for name in names:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if memo.get(name) != key:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            memo[name] = key

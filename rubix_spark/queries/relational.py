@@ -108,9 +108,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q4 multi-way star join (q19 shape — perf/query_tpcds.sql:1-37)
 # ---------------------------------------------------------------------------
-@register(
-    "q4_star_join",
-    f"""
+_Q4_ORACLE = f"""
     SELECT n.n_name,
            {duck_round("SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4)))")} AS revenue
     FROM customer c
@@ -121,7 +119,12 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
     GROUP BY n.n_name
-    """,
+    """
+
+
+@register(
+    "q4_star_join",
+    _Q4_ORACLE,
     doc=(
         "Headline star join. lineitem⋈orders shuffles on orderkey (the only big-big join); "
         "supplier/nation/region/customer broadcast — at 100 TB the fact side streams through "
@@ -141,6 +144,43 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
     )
+
+
+# Spark-SQL twin of Q4: the same query submitted as SQL TEXT over the fixture temp
+# views — the shape a SQL-endpoint client (the reference's Presto/Hive engines, or a
+# Spark Thrift Server user) actually sends.  One Py4J call per submission, so repeated /
+# concurrent submissions don't serialize on Python-side plan construction the way
+# per-call DataFrame building does (bench's concurrency phase uses this entry for
+# exactly that reason — it mirrors `perf/perf.go:37-70`, which drives the Presto CLI
+# with SQL text per run).  Same oracle as q4_star_join: both must hash-match it.
+_Q4_SPARK_SQL = """
+    SELECT /*+ BROADCAST(c, s, n, r) */ n_name,
+           FLOOR(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D) / 10000.0D
+                               AS DECIMAL(18,4))) AS DOUBLE) * 100.0D + 0.5D) / 100.0D AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l_orderkey = o_orderkey
+    JOIN customer c ON c_custkey = o_custkey
+    JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation n   ON s_nationkey = n_nationkey
+    JOIN region r   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """
+
+
+@register(
+    "q4_star_join_sql",
+    _Q4_ORACLE,
+    doc=(
+        "q4_star_join submitted as Spark-SQL text over registered fixture views (the "
+        "SQL-endpoint client shape; see _Q4_SPARK_SQL). Same oracle as q4_star_join."
+    ),
+)
+def q4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    return spark.sql(_Q4_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------
