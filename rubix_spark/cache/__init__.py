@@ -11,10 +11,17 @@ Hadoop FileSystem API (``rubix-core/.../CachingFileSystem.java``,
   materializes hot parquet onto local disk with a distributed ``spark.read → write`` copy
   and rewrites reads to the local copy.
 
-Deliberately NOT ported (SURVEY.md §7 risk register): the cross-node data plane
-(NonLocalReadRequestChain + LocalDataTransferServer, A8/A20) — Spark's locality-aware
-scheduling and shuffle replace it; and the thrift RPC tier (A22-A23) — the manifest is
-driver-local state.
+Deliberately NOT ported (SURVEY.md §7 risk register): the cross-NODE read chains
+(NonLocalReadRequestChain, A8/A9) — the locality shim (``cache/locality.py``) schedules
+the scan task onto the owning node instead, and off-ring tasks read remote directly;
+and the thrift RPC tier (A22-A23) — coordination state lives in the file-locked
+manifest, not a service.
+
+The LDTS's actual job (A20) — several ENGINE PROCESSES on one node serving each
+other's cached blocks (the reference's Presto+Spark+Hive-share-one-BookKeeper
+deployment) — survives without its socket protocol: clients mount the same cache dir,
+the flock'd manifest CAS is the coordination point, and a client hits on data another
+client warmed (``tests/test_cache_cross_client.py``).
 """
 
 from rubix_spark.cache.manager import CacheManager
