@@ -432,27 +432,19 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF with a trained codebook (k-means||)
 # ---------------------------------------------------------------------------
-@register(
-    "x2_ann_ivf_trained",
-    None,  # rows-only: k-means centroids are Spark-internal, not SQL-reproducible
-    doc=(
-        "IVF with a *trained* codebook: pyspark.ml KMeans (k-means||, fixed seed) learns "
-        "16 centroids, vectors are assigned by the model, and the query probes its 4 "
-        "nearest centroid buckets — the production build pass the deterministic-centroid "
-        "variant (x2_ann_ivf) stands in for. Rows-only gate (centroids depend on MLlib "
-        "internals); recall vs exact brute force is asserted in tests."
-    ),
-)
-def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trained_kmeans(spark: SparkSession, sf_dir: str):
+    """Fit (or fetch) the per-(session, sf_dir) KMeans codebook over ``embeddings``.
+
+    The trained model is the OFFLINE index-build artifact (like the literal codebook of
+    x2_ann_ivf) — memoized so probes/clustering queries don't re-fit; the fit itself
+    dominates latency otherwise (~3 s vs ~1 s). Returns (model, vecs) where vecs carries
+    (vec_id, embedding, features).
+    """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql.window import Window
+    from pyspark.ml.functions import array_to_vector
 
     emb = catalog.table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
-    # The trained model is the OFFLINE index-build artifact (like the literal codebook
-    # of x2_ann_ivf) — memoize it per (session, sf_dir) so probes don't re-fit; the
-    # fit itself dominates this query's latency otherwise (~3 s vs ~1 s).
     memo = getattr(spark, "_rubix_kmeans_memo", None)
     if memo is None:
         memo = {}
@@ -473,6 +465,23 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             train.unpersist()
         memo[sf_dir] = model
+    return model, vecs
+
+
+@register(
+    "x2_ann_ivf_trained",
+    None,  # rows-only: k-means centroids are Spark-internal, not SQL-reproducible
+    doc=(
+        "IVF with a *trained* codebook: pyspark.ml KMeans (k-means||, fixed seed) learns "
+        "16 centroids, vectors are assigned by the model, and the query probes its 4 "
+        "nearest centroid buckets — the production build pass the deterministic-centroid "
+        "variant (x2_ann_ivf) stands in for. Rows-only gate (centroids depend on MLlib "
+        "internals); recall vs exact brute force is asserted in tests."
+    ),
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, vecs = _trained_kmeans(spark, sf_dir)
+    emb = catalog.table(spark, sf_dir, "embeddings")
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cid")
 
     centroids = spark.createDataFrame(
@@ -494,6 +503,36 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(TOP_K)
         .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus clustering (the curation-side use of the trained codebook)
+# ---------------------------------------------------------------------------
+@register(
+    "x2_corpus_cluster",
+    None,  # rows-only: k-means centroids are Spark-internal, not SQL-reproducible
+    doc=(
+        "Corpus clustering over the embedding column: the trained KMeans codebook "
+        "(shared with x2_ann_ivf_trained) partitions the corpus into topical buckets; "
+        "output is per-cluster size plus exact min/max member ids (deterministic under "
+        "the fixed seed). The curation use: per-cluster sampling caps (domain balance), "
+        "cluster-level dedup, and routing clusters to different filtering recipes. At "
+        "100 TB assignment is a broadcast-codebook map-side transform — no shuffle "
+        "until the per-cluster aggregate, which partial-aggregates."
+    ),
+)
+def corpus_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, vecs = _trained_kmeans(spark, sf_dir)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cid")
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cid")
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rubix_spark import catalog
-from rubix_spark.fns import round_det
+from rubix_spark.fns import duck_round, round_det
 from rubix_spark.ops import _tok
 from rubix_spark.queries import register
 
@@ -189,6 +189,53 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.explode(_tok.shingles(F.col("toks"), 3)).alias("sh"))
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.encode(F.col("sh"), "utf-8"))).alias("fp"))
+    )
+
+
+@register(
+    "x3_unigram_lm",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_tok.duck_tokens('text')}) AS tok FROM documents
+    ),
+    census AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           {duck_round("CAST(SUM(CAST(c.cnt AS BIGINT)) AS DOUBLE) / COUNT(*)")} AS avg_tok_freq,
+           CAST(MIN(c.cnt) AS BIGINT) AS rarest_freq
+    FROM toks t JOIN census c ON t.tok = c.tok
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Unigram language-model familiarity score: per-document mean and minimum corpus "
+        "frequency of its tokens — documents full of rare tokens (low avg, rarest_freq 1) "
+        "are the out-of-distribution/noise candidates a pipeline filters before training. "
+        "Exact-arithmetic stand-in for unigram log-perplexity: the census counts are exact "
+        "integers and the only float op is one rounded division, so the gate hash-matches "
+        "(a SUM(log(p)) would drift in the last ulp between libm builds and across "
+        "partition orders), while the per-doc ranking is order-isomorphic."
+    ),
+)
+def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    # token explosion feeds BOTH the census and the per-doc join — checkpoint it so the
+    # tokenize+explode scan runs once (keywords' tf pattern, invariant #3)
+    toks = docs.select("doc_id", F.explode(_tok.tokens("text")).alias("tok")).localCheckpoint(
+        eager=True
+    )
+    census = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # census is vocabulary-sized (≪ corpus) → broadcast; at 100 TB cap the vocabulary
+    # (HAVING cnt >= k) or let it shuffle — the per-doc aggregate is partial either way
+    return (
+        toks.join(F.broadcast(census), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            round_det(F.sum(F.col("cnt").cast("bigint")).cast("double") / F.count("*")).alias(
+                "avg_tok_freq"
+            ),
+            F.min("cnt").cast("bigint").alias("rarest_freq"),
+        )
     )
 
 
