@@ -104,3 +104,16 @@ def test_ann_build_passes_have_no_shuffle(spark):
         # 1-row query (its bucket is data-dependent) — never more than that
         assert len(exchanges) <= 1, f"{name} has {len(exchanges)} exchanges:\n{plan}"
         assert "Window" not in plan and "Generate" not in plan, name
+
+
+def test_unigram_census_broadcasts_and_reuses_checkpoint(spark):
+    """X3 unigram-LM: the vocabulary census joins back to the token stream as a
+    broadcast (vocabulary ≪ corpus — a shuffle join would move every token row), and
+    both join sides must scan the SAME checkpointed token RDD (one tokenize pass)."""
+    plan = _plan(spark, "x3_unigram_lm")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # both join sides scan the checkpointed token RDD; a FileScan would mean the
+    # tokenize+explode projection leaked past the checkpoint and runs per use
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
