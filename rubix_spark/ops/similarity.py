@@ -666,3 +666,52 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= KNN_K)
         .select("qid", "vec_id", round_det(F.col("s"), 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# random-projection dimensionality reduction (Johnson-Lindenstrauss sketch)
+# ---------------------------------------------------------------------------
+# The projection matrix is a FIXED seeded draw, embedded as literals in both engines —
+# the offline artifact a pipeline versions alongside its embeddings (re-drawing it
+# would silently break comparability of sketches across runs). 64→8 dims here; at
+# scale the same single-projection expression reduces storage/IO for a coarse ANN
+# pre-filter by dim_out/dim_in while JL keeps relative distances within ~(1±eps).
+PROJ_DIM = 8
+
+
+def _proj_matrix() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 1/sqrt(dim_out) scaling keeps expected norms comparable pre/post projection
+    m = rng.standard_normal((PROJ_DIM, DIM)) / float(np.sqrt(PROJ_DIM))
+    return [[float(x) for x in row] for row in m]
+
+
+@register(
+    "x2_embedding_project",
+    f"""
+    SELECT vec_id,
+           {", ".join(
+               "FLOOR(" + DUCK_DOT.format(a="embedding", b="["
+                   + ", ".join(repr(x) for x in row) + "]")
+               + " * 10000 + 0.5) / 10000.0 AS p" + str(i)
+               for i, row in enumerate(_proj_matrix())
+           )}
+    FROM embeddings
+    """,
+    doc=(
+        "Random-projection dimensionality reduction: each 64-dim embedding is sketched "
+        "to 8 dims through a fixed seeded Gaussian matrix (JL transform). One map-only "
+        "projection — the matrix constant-folds into 8 literal-vector dot products, no "
+        "shuffle, no Python; both engines fold the same sequence of doubles so the "
+        "oracle hash-matches at 4 decimals."
+    ),
+)
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    rows = _proj_matrix()
+    return emb.select(
+        "vec_id",
+        *[round_det(dot_lit("embedding", row), 4).alias(f"p{i}") for i, row in enumerate(rows)],
+    )
