@@ -166,8 +166,13 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("u")).select(
-        "doc_id", F.col("u.band").alias("band"), F.col("u.k").alias("band_key")
+    # self-join below would otherwise recompute the tokenize→shingle→minhash pipeline
+    # once per side; bands is tiny (docs × N_BANDS rows) — checkpoint it once (same
+    # rationale as ngram_jaccard's dh; ContextCleaner frees the blocks)
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("u"))
+        .select("doc_id", F.col("u.band").alias("band"), F.col("u.k").alias("band_key"))
+        .localCheckpoint(eager=True)
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -236,8 +241,12 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = votes.select("doc_id", simhash_expr.alias("simhash"))
     band_ids = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    bands = sig.crossJoin(F.broadcast(band_ids)).select(
-        "doc_id", "simhash", "band", F.expr("shiftright(simhash, 8 * band) & 255").alias("band_val")
+    # checkpoint before the self-join: both sides would otherwise re-run the full
+    # tokenize→vote→signature pipeline (docs × 4 rows — tiny)
+    bands = (
+        sig.crossJoin(F.broadcast(band_ids))
+        .select("doc_id", "simhash", "band", F.expr("shiftright(simhash, 8 * band) & 255").alias("band_val"))
+        .localCheckpoint(eager=True)
     )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

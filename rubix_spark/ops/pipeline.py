@@ -327,7 +327,14 @@ def x9_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rubix_spark.ops.dedup import _doc_shingles
 
     docs = catalog.table(spark, sf_dir, "documents")
-    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h"))
+    # dh feeds both the DF census and the probe side of the join — checkpoint the
+    # 16 B/row hashed-shingle table so tokenize→shingle→md5 runs once (ngram_jaccard
+    # rationale)
+    dh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", _tok.hash32(F.col("sh")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
     freq = dh.groupBy("h").agg(F.count("*").alias("df"))
     per_doc = (
         dh.join(freq, "h")
