@@ -5,8 +5,9 @@ scales on a real cluster:
 
 - AQE on: runtime re-plan picks broadcast joins, coalesces small shuffle partitions, and
   splits skewed ones — the same settings that matter at 100 TB.
-- ``spark.sql.shuffle.partitions`` default 32 for local tests; on a 1000-executor cluster
-  AQE's coalescing makes a high static value safe, so we only pin it down for local runs.
+- ``spark.sql.shuffle.partitions`` default 8 for local tests (task-scheduling overhead
+  dominates at <1 GB); on a 1000-executor cluster AQE's coalescing makes a high static
+  value safe, so we only pin it down for local runs.
 - Arrow enabled: all Pandas-UDF paths (ops.udf, ops.multimodal, ops.dedup) move data in
   Arrow batches, not pickled rows.
 - Session timezone UTC so timestamp functions agree with the DuckDB oracle.

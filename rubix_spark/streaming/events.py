@@ -78,17 +78,43 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def _run_available_now(spark: SparkSession, result: DataFrame, mode: str = "complete") -> DataFrame:
-    """Execute a streaming plan to completion into a memory sink; return the sink table."""
+def _stream_partitions(sf_dir: str) -> int:
+    """State-store partition count sized to the stream's input, not the batch shuffle
+    default: every stateful operator instantiates one state store PER shuffle partition
+    PER micro-batch (a stream-stream join keeps four), so 32 partitions over a tens-of-MB
+    micro-batch is pure commit overhead (measured: s5 3.1 s -> 2.3 s at 8). Scale up by
+    input size exactly like a production job sizes state partitions to state volume."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir.rstrip("/"), "events.parquet"))
+    except OSError:
+        size = 0
+    return max(8, size // (128 * 1024 * 1024))
+
+
+def _run_available_now(
+    spark: SparkSession, result: DataFrame, mode: str = "complete", partitions: int | None = None
+) -> DataFrame:
+    """Execute a streaming plan to completion into a memory sink; return the sink table.
+
+    ``partitions`` (from ``_stream_partitions``) is applied for the duration of the run
+    and restored after — the state-store count is pinned into the query's checkpoint at
+    start, so this is the one place it can be set."""
     name = f"rs_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -112,7 +138,10 @@ def _run_available_now(spark: SparkSession, result: DataFrame, mode: str = "comp
     ),
 )
 def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_available_now(spark, sliding_counts(read_events_stream(spark, sf_dir)))
+    return _run_available_now(
+        spark, sliding_counts(read_events_stream(spark, sf_dir)),
+        partitions=_stream_partitions(sf_dir),
+    )
 
 
 @register(
@@ -142,7 +171,10 @@ def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_available_now(spark, session_stats(read_events_stream(spark, sf_dir)))
+    return _run_available_now(
+        spark, session_stats(read_events_stream(spark, sf_dir)),
+        partitions=_stream_partitions(sf_dir),
+    )
 
 
 @register(
@@ -182,16 +214,21 @@ def s6_stream_durable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sink idempotent under retries (the foreachBatch exactly-once recipe)
         bdf.write.mode("overwrite").parquet(out_dir)
 
-    for _ in range(2):  # second start = checkpoint restart with no new input
-        q = (
-            sliding_counts(read_events_stream(spark, sf_dir))
-            .writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", ckpt_dir)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_stream_partitions(sf_dir)))
+    try:
+        for _ in range(2):  # second start = checkpoint restart with no new input
+            q = (
+                sliding_counts(read_events_stream(spark, sf_dir))
+                .writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)
 
 
@@ -215,7 +252,10 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     ),
 )
 def s3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_available_now(spark, dedup_stream(read_events_stream(spark, sf_dir)))
+    return _run_available_now(
+        spark, dedup_stream(read_events_stream(spark, sf_dir)),
+        partitions=_stream_partitions(sf_dir),
+    )
 
 
 def purchase_click_join(events: DataFrame) -> DataFrame:
@@ -258,4 +298,7 @@ def purchase_click_join(events: DataFrame) -> DataFrame:
 )
 def s5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
-    return _run_available_now(spark, purchase_click_join(events), mode="append")
+    return _run_available_now(
+        spark, purchase_click_join(events), mode="append",
+        partitions=_stream_partitions(sf_dir),
+    )

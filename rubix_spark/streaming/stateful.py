@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 )
 
 from rubix_spark.queries import register
-from rubix_spark.streaming.events import _run_available_now, read_events_stream
+from rubix_spark.streaming.events import _run_available_now, _stream_partitions, read_events_stream
 
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
@@ -139,4 +139,7 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
     ),
 )
 def s4_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_available_now(spark, stateful_sessions(read_events_stream(spark, sf_dir)), mode="append")
+    return _run_available_now(
+        spark, stateful_sessions(read_events_stream(spark, sf_dir)), mode="append",
+        partitions=_stream_partitions(sf_dir),
+    )
