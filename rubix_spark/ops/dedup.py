@@ -373,10 +373,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
+    # checkpoint the normalized vectors: the self-join otherwise re-runs the scan +
+    # norm + transform pipeline once per side, and projection collapse would re-inline
+    # the interpreted transform into downstream element accesses (invariant: measured
+    # 4.4 s -> 1.9 s at sf0.1)
     e = n.select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("ne"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
     scored = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
