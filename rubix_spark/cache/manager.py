@@ -95,6 +95,12 @@ class CacheManager:
         os.makedirs(os.path.join(cache_dir, "fcache"), exist_ok=True)
         self.manifest = Manifest(os.path.join(cache_dir, "manifest.json"))
         self._lock = threading.RLock()
+        # hit-path DataFrame memo keyed by (remote_path, generation): schema inference
+        # on spark.read.parquet costs ~150 ms per call (driver file listing + footer
+        # read), which dominated warm reads. Every re-warm bumps the generation (new
+        # local dir), so a memoized entry can never serve stale or relocated data —
+        # the in-memory-metadata pattern of the reference's BookKeeper cache.
+        self._df_memo: dict[tuple[str, int], DataFrame] = {}
         self._counters = {
             "hits": 0,
             "misses": 0,
@@ -376,7 +382,11 @@ class CacheManager:
             if self._fresh(entry, remote_path):
                 self.manifest.touch(remote_path)
                 try:
-                    df = self.spark.read.parquet(entry.local_path)
+                    memo_key = (remote_path, entry.generation)
+                    df = self._df_memo.get(memo_key)
+                    if df is None:
+                        df = self.spark.read.parquet(entry.local_path)
+                        self._df_memo[memo_key] = df
                     with self._lock:
                         self._counters["hits"] += 1
                     return df
@@ -423,6 +433,7 @@ class CacheManager:
         if entry:
             shutil.rmtree(entry.local_path, ignore_errors=True)
             self.manifest.next_generation(remote_path)
+            self._df_memo.pop((remote_path, entry.generation), None)
             with self._lock:
                 self._counters["invalidations"] += 1
 
