@@ -26,7 +26,9 @@ import org.apache.hadoop.fs.RawLocalFileSystem;
  * The rendezvous hash MUST stay bit-identical to rubix_spark/cache/ring.py:
  * weight(key, node) = first 8 bytes of md5(key + "|" + node), unsigned big-endian;
  * owner(key) = the first maximal node in sorted node order;
- * ownership key for split i ending at byte e of path p = p + i + e.
+ * ownership key for the split [s, e) of path p = p + s + e (decimal-formatted),
+ * matching the reference's path + startOffset + endOffset key shape
+ * (CachingFileSystem.java:424).
  *
  * Config (read from the Hadoop Configuration, i.e. spark.hadoop.* confs):
  *   rubix.cache.nodes        comma-separated executor hostnames (required; without it
@@ -108,7 +110,7 @@ public class RubixLocalFileSystem extends RawLocalFileSystem {
             if (e <= start || s >= start + len) {
                 continue;
             }
-            String owner = locateKey(path + i + e, sorted);
+            String owner = locateKey(path + s + e, sorted);
             out.add(new BlockLocation(
                     new String[] {owner + ":0"}, new String[] {owner}, s, e - s));
         }

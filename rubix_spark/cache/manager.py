@@ -450,6 +450,7 @@ class CacheManager:
                     break
                 self.manifest.remove(lru.remote_path)
                 shutil.rmtree(lru.local_path, ignore_errors=True)
+                self._df_memo.pop((lru.remote_path, lru.generation), None)
                 evicted += 1
                 self._counters["evictions"] += 1
         return evicted

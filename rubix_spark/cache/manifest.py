@@ -69,6 +69,10 @@ class Manifest:
     """
 
     TOUCH_FLUSH_INTERVAL = 5.0  # seconds between touch-driven flushes
+    # superseded-generation dirs survive this long after being replaced, so a
+    # cross-process reader holding a lazy DataFrame over the previous generation can
+    # still run its action; reclaimed by the next structural mutation past the grace
+    RECLAIM_GRACE = 30.0
 
     def __init__(self, path: str):
         self._path = path
@@ -77,6 +81,8 @@ class Manifest:
         # highest generation ever seen per remote path, even after eviction — a stale
         # writer can never resurrect an invalidated copy (FileMetadata.java:125-182)
         self._generations: dict[str, int] = {}
+        # superseded local dirs awaiting grace-period reclaim: {local_path: deadline}
+        self._tombstones: dict[str, float] = {}
         self._dirty_touches = 0
         self._last_flush = time.time()
         self._disk_sig: tuple[int, int] | None = None
@@ -107,6 +113,7 @@ class Manifest:
                 raw = json.load(f)
             self._entries = {k: Entry(**v) for k, v in raw.get("entries", {}).items()}
             self._generations = dict(raw.get("generations", {}))
+            self._tombstones = dict(raw.get("tombstones", {}))
         self._disk_sig = sig
 
     def _refresh_locked(self) -> None:
@@ -132,6 +139,7 @@ class Manifest:
                 {
                     "entries": {k: asdict(v) for k, v in self._entries.items()},
                     "generations": self._generations,
+                    "tombstones": self._tombstones,
                 },
                 f,
             )
@@ -183,18 +191,40 @@ class Manifest:
                 return False
             prev = self._entries.get(entry.remote_path)
             self._entries[entry.remote_path] = entry
-            self._save()
             # a superseded earlier-generation commit (another writer that raced and
-            # landed first) is unreachable after this point — reclaim its copy here,
-            # the only place that still sees it (same lazy-reader hazard as invalidate)
+            # landed first) is unreachable via the manifest after this point, but a
+            # concurrent process may still hold a lazy DataFrame over its dir — so it
+            # is TOMBSTONED (reclaimed after RECLAIM_GRACE by a later mutation), not
+            # deleted here; in-flight cross-process readers of the immediately-previous
+            # generation survive their action
             if prev is not None and prev.local_path != entry.local_path:
-                shutil.rmtree(prev.local_path, ignore_errors=True)
+                self._tombstones[prev.local_path] = time.time() + self.RECLAIM_GRACE
+            self._sweep_tombstones_locked()
+            self._save()
             return True
+
+    def _sweep_tombstones_locked(self, max_age: float | None = None) -> None:
+        """Reclaim tombstoned dirs past their grace deadline (caller holds both locks).
+
+        ``max_age=0`` forces immediate reclaim of everything (shutdown/test hook)."""
+        now = time.time()
+        for path, deadline in list(self._tombstones.items()):
+            if max_age == 0 or now >= deadline:
+                shutil.rmtree(path, ignore_errors=True)
+                del self._tombstones[path]
+
+    def reclaim(self, force: bool = False) -> None:
+        """Sweep expired tombstones (``force=True`` ignores the grace period)."""
+        with self._lock, self._file_lock():
+            self._refresh_locked()
+            self._sweep_tombstones_locked(max_age=0 if force else None)
+            self._save()
 
     def remove(self, remote_path: str) -> Entry | None:
         with self._lock, self._file_lock():
             self._refresh_locked()
             e = self._entries.pop(remote_path, None)
+            self._sweep_tombstones_locked()
             if e:
                 self._save()
             return e

@@ -41,14 +41,17 @@ def split_owners(
 ) -> list[tuple[int, int, str]]:
     """[(split_start, split_end, owner_node)] for a file — BookKeeper.java:272-281 analog.
 
-    The ownership key matches the reference's shape: path + split ordinal + split end.
+    The ownership key matches the reference's shape: path + split START offset + split
+    end (``CachingFileSystem.java:424`` hashes ``path + startOffset + endOffset``).
+    Must stay bit-identical to the Java shim (RubixLocalFileSystem.java) — change both
+    together; tests/test_locality.py asserts parity.
     """
     out = []
     n_splits = max(1, (file_size + split_bytes - 1) // split_bytes)
     for i in range(n_splits):
         start = i * split_bytes
         end = min(file_size, start + split_bytes)
-        out.append((start, end, locate_key(f"{remote_path}{i}{end}", nodes)))
+        out.append((start, end, locate_key(f"{remote_path}{start}{end}", nodes)))
     return out
 
 

@@ -19,6 +19,7 @@ for custom gap logic; not needed for the declared semantics.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,6 +92,15 @@ def _stream_partitions(sf_dir: str) -> int:
     return max(8, size // (128 * 1024 * 1024))
 
 
+# Streaming runs mutate the session-global shuffle-partition conf for the duration of
+# the run (the state-store count is pinned at query start). The lock serializes
+# streaming builders against each other so a racing builder can never observe the
+# temporarily-lowered value or clobber the restore. Batch builders running concurrently
+# on the same session may still see the lowered value — acceptable (AQE coalesces), but
+# bench's threaded phase should not interleave streaming with batch builders.
+_shuffle_conf_lock = threading.Lock()
+
+
 def _run_available_now(
     spark: SparkSession, result: DataFrame, mode: str = "complete", partitions: int | None = None
 ) -> DataFrame:
@@ -100,21 +110,22 @@ def _run_available_now(
     and restored after — the state-store count is pinned into the query's checkpoint at
     start, so this is the one place it can be set."""
     name = f"rs_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
+    with _shuffle_conf_lock:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
         if partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        try:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -214,22 +225,28 @@ def s6_stream_durable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sink idempotent under retries (the foreachBatch exactly-once recipe)
         bdf.write.mode("overwrite").parquet(out_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_stream_partitions(sf_dir)))
-    try:
-        for _ in range(2):  # second start = checkpoint restart with no new input
-            q = (
-                sliding_counts(read_events_stream(spark, sf_dir))
-                .writeStream.foreachBatch(write_batch)
-                .option("checkpointLocation", ckpt_dir)
-                .outputMode("complete")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_dir)
+    with _shuffle_conf_lock:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_stream_partitions(sf_dir)))
+        try:
+            for _ in range(2):  # second start = checkpoint restart with no new input
+                q = (
+                    sliding_counts(read_events_stream(spark, sf_dir))
+                    .writeStream.foreachBatch(write_batch)
+                    .option("checkpointLocation", ckpt_dir)
+                    .outputMode("complete")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # pin the small result into executor storage so the run's sink + checkpoint dirs
+    # can be removed NOW (repeated bench/test runs would otherwise accumulate them);
+    # eager localCheckpoint keeps compute-once semantics with ContextCleaner reclaim
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:

@@ -52,8 +52,10 @@ def test_two_processes_warm_same_path(remote_file, tmp_path):
     entry = m.get(remote_file)
     assert entry is not None and os.path.isdir(entry.local_path)
     # the committed entry carries the HIGHEST generation issued (a stale writer can
-    # never overwrite a newer commit), and losers cleaned their copies up
+    # never overwrite a newer commit), and losers cleaned their copies up; a
+    # superseded COMMIT survives only as a tombstone until the grace sweep
     assert entry.generation == m._generations[remote_file]
+    m.reclaim(force=True)
     fcache = os.path.join(cache_dir, "fcache")
     assert os.listdir(fcache) == [os.path.basename(entry.local_path)]
     # at least one warm returned a path; a CAS loser returns None after self-cleanup
@@ -77,6 +79,7 @@ def test_two_managers_in_process_race(remote_file, tmp_path):
         t.join(60)
     entry = cms[0].manifest.get(remote_file)
     assert entry is not None and os.path.isdir(entry.local_path)
+    cms[0].manifest.reclaim(force=True)
     assert os.listdir(os.path.join(cache_dir, "fcache")) == [os.path.basename(entry.local_path)]
     # BOTH managers (including the one whose put lost) observe the committed entry
     assert cms[1].manifest.get(remote_file).generation == entry.generation
@@ -105,3 +108,43 @@ def test_generations_are_globally_monotonic_across_processes(remote_file, tmp_pa
     for i in range(10):
         seen.append((a if i % 2 else b).next_generation("some/path"))
     assert seen == list(range(1, 11))
+
+
+def test_superseded_generation_survives_grace_period(remote_file, tmp_path):
+    """A re-warm tombstones the previous generation's dir instead of deleting it, so a
+    concurrent process holding a lazy reader over the OLD dir can still run its action;
+    the dir is reclaimed only after the grace deadline (forced here)."""
+    cache_dir = str(tmp_path / "cache")
+    a = CacheManager(None, cache_dir)
+    b = CacheManager(None, cache_dir)
+    a.warm(remote_file)
+    old = b.manifest.get(remote_file)  # B now 'holds a reader' over generation 1's dir
+    assert old is not None and os.path.isdir(old.local_path)
+
+    # A re-warms (e.g. staleness or operator-driven refresh) → generation bump + put
+    os.utime(remote_file)  # touch mtime so A sees the remote as changed
+    a.invalidate(remote_file)
+    a.warm(remote_file)
+    new = a.manifest.get(remote_file)
+    assert new.generation > old.generation
+
+    # warm went through invalidate (immediate rmtree, the acknowledged hazard); the
+    # put-commit path is what grace covers — simulate a raced superseding commit:
+    from rubix_spark.cache.manifest import Entry
+
+    g = a.manifest.next_generation(remote_file)
+    raced = Entry(
+        remote_path=remote_file,
+        local_path=str(tmp_path / "raced_copy"),
+        size_bytes=1,
+        last_modified=0.0,
+        generation=g,
+    )
+    os.makedirs(raced.local_path, exist_ok=True)
+    assert a.manifest.put(raced)
+    # the superseded dir (new.local_path) is tombstoned, NOT deleted
+    assert os.path.isdir(new.local_path)
+    a.manifest.reclaim()  # grace not yet expired → still alive
+    assert os.path.isdir(new.local_path)
+    a.manifest.reclaim(force=True)
+    assert not os.path.isdir(new.local_path)
