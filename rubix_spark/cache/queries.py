@@ -84,6 +84,9 @@ def datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("rubix_cache")
         .option("path", f"{sf_dir.rstrip('/')}/lineitem.parquet")
         .option("cache_dir", os.path.join(tempfile.gettempdir(), "rubix_spark_cache", "ds"))
+        # the Python DS API has no column-pruning pushdown — pass the projection so
+        # only 2 of 11 column chunks are decoded and shipped through Arrow
+        .option("columns", "l_returnflag,l_extendedprice")
         .load()
     )
     return li.groupBy("l_returnflag").agg(

@@ -34,10 +34,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
     The driver harness supplies its own SparkSession, so the configs our builder sets
     (session.py) may be absent — both of these are runtime-settable SQL confs:
     - nanosAsLong: events.ts is TIMESTAMP(NANOS) parquet, which Spark otherwise rejects;
-    - UTC session timezone: timestamp outputs must agree with the tz-naive oracle.
+    - UTC session timezone: timestamp outputs must agree with the tz-naive oracle;
+    - python filterPushdown: the rubix_cache DataSource implements pushFilters(), which
+      Spark refuses to plan unless this (runtime-settable) conf is on.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
