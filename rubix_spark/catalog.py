@@ -33,7 +33,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     The driver harness supplies its own SparkSession, so the configs our builder sets
     (session.py) may be absent — both of these are runtime-settable SQL confs:
-    - nanosAsLong: events.ts is TIMESTAMP(NANOS) parquet, which Spark otherwise rejects;
+    - nanosAsLong: events.ts has shipped as TIMESTAMP(NANOS) parquet, which Spark
+      otherwise rejects (harmless when the fixture is TIMESTAMP(MICROS) — µs columns
+      still read as TimestampType);
     - UTC session timezone: timestamp outputs must agree with the tz-naive oracle;
     - python filterPushdown: the rubix_cache DataSource implements pushFilters(), which
       Spark refuses to plan unless this (runtime-settable) conf is on.
@@ -46,9 +48,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, read as int64 nanos (see
-    ``ensure_session_confs``) and converted here — fixture nanos are µs-aligned, so the
-    DIV 1000 is lossless.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    driver fixture generations; nanos fixtures read as int64 (see
+    ``ensure_session_confs``) and convert here — the nanos are µs-aligned, so the
+    DIV 1000 is lossless. Micros fixtures read as TimestampType directly.
 
     The DataFrame (a lazy plan + resolved FileIndex) is memoized per (session, dir,
     name): every ``spark.read.parquet`` call re-lists the path and re-reads a footer

@@ -28,28 +28,54 @@ from pyspark.sql import functions as F
 from rubix_spark.fns import round_det
 from rubix_spark.queries import register
 
-# the parquet stores TIMESTAMP(NANOS) → read as int64 nanos (session sets nanosAsLong)
-_EVENTS_SCHEMA = (
+# Streaming requires a pinned schema; the ts column's declared type depends on the
+# fixture's physical parquet unit (detected per directory, see _events_ts_is_nanos):
+# TIMESTAMP(NANOS) fixtures read as int64 nanos (session sets nanosAsLong),
+# TIMESTAMP(MICROS) fixtures read natively as TimestampType.
+_EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
 )
+_EVENTS_SCHEMA_MICROS = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+)
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when the fixture stores ts as TIMESTAMP(NANOS) (driver fixtures have shipped
+    both ns and µs over time; one footer read per directory, memoized)."""
+    hit = _TS_UNIT_MEMO.get(sf_dir)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(os.path.join(sf_dir.rstrip("/"), "events.parquet")).schema_arrow
+        hit = getattr(t.field("ts").type, "unit", None) == "ns"
+        _TS_UNIT_MEMO[sf_dir] = hit
+    return hit
+
+
+_TS_UNIT_MEMO: dict[str, bool] = {}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema pinned — streaming requires it).
 
-    The file source needs a directory, so we point at the sf_dir with a glob filter; ts is
-    int64 nanos in the fixture and µs-aligned, so DIV 1000 is a lossless conversion.
+    The file source needs a directory, so we point at the sf_dir with a glob filter.
+    Nanos fixtures arrive as int64 (µs-aligned, so DIV 1000 is lossless); micros
+    fixtures arrive as TimestampType directly.
     """
     from rubix_spark.catalog import ensure_session_confs
 
     ensure_session_confs(spark)
+    nanos = _events_ts_is_nanos(sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    # TimestampType (not NTZ): watermarks require it; session tz is UTC so values align
+    if not nanos:
+        # TimestampType already (watermarks require it; session tz is UTC so values align)
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
