@@ -318,3 +318,104 @@ def x10_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.sum("v"), "total_v"),
         F.count("*").alias("active_hours"),
     )
+
+
+def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q29 CTE, pre-checkpoint (exposed so plan tests can assert its join strategy)."""
+    from rubix_spark.fns import dec_det
+
+    t = catalog.load(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    region = t["region"].where(F.col("r_name").isin("ASIA", "EUROPE", "AMERICA"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("c_custkey"), F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "rev"))
+    )
+
+
+
+@register(
+    "q29_deep_cte",
+    """
+    WITH cust_sales AS (
+        SELECT c.c_custkey, n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+               FLOOR(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                                   / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS rev
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE', 'AMERICA')
+        GROUP BY 1, 2, 3
+    ),
+    nation_year AS (
+        SELECT nation, yr,
+               FLOOR(CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS nation_rev
+        FROM cust_sales GROUP BY 1, 2
+    )
+    SELECT y1.nation, y1.c_custkey, y1.yr AS yr1, y1.rev AS rev1, y2.rev AS rev2,
+           ny.nation_rev,
+           RANK() OVER (PARTITION BY y1.nation, y1.yr
+                        ORDER BY y2.rev - y1.rev DESC, y1.c_custkey) AS rk
+    FROM cust_sales y1
+    JOIN cust_sales y2 ON y1.c_custkey = y2.c_custkey AND y1.nation = y2.nation
+                      AND y2.yr = y1.yr + 1
+    JOIN nation_year ny ON ny.nation = y1.nation AND ny.yr = y1.yr
+    WHERE y2.rev > y1.rev
+    QUALIFY rk <= 5
+    """,
+    doc=(
+        "query64-class deep-CTE stress (rubix-stress/queries/query64.sql shape): a 6-way "
+        "join CTE (fact ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier, grouped to "
+        "customer×nation×year revenue), self-joined on (customer, nation) across "
+        "consecutive years to find growing customers, joined to a second CTE "
+        "(nation×year rollup OF the first CTE), ranked per nation-year by growth with a "
+        "window on top. The CTE is eagerly localCheckpoint'ed, so the expensive 6-way "
+        "join runs ONCE and all three consumers (both self-join sides + the rollup) "
+        "read the materialized result — the reuse discipline a 100 TB query64 needs "
+        "(recomputing the CTE per consumer would triple the dominant cost). Dimension "
+        "joins broadcast; the two fact-side shuffles (orderkey, custkey) are the only "
+        "wide exchanges below the CTE."
+    ),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # CTE reuse: three consumers below; eager localCheckpoint = compute-once with
+    # ContextCleaner reclaim (never persist() in a builder — CLAUDE.md invariant 9)
+    cust_sales = _q29_cust_sales(spark, sf_dir).localCheckpoint()
+    nation_year = cust_sales.groupBy("nation", "yr").agg(money(F.sum(dec("rev")), "nation_rev"))
+    y1, y2 = cust_sales.alias("y1"), cust_sales.alias("y2")
+    ny = nation_year.alias("ny")
+    joined = (
+        y1.join(
+            y2,
+            (F.col("y1.c_custkey") == F.col("y2.c_custkey"))
+            & (F.col("y1.nation") == F.col("y2.nation"))
+            & (F.col("y2.yr") == F.col("y1.yr") + 1),
+        )
+        .join(ny, (F.col("ny.nation") == F.col("y1.nation")) & (F.col("ny.yr") == F.col("y1.yr")))
+        .where(F.col("y2.rev") > F.col("y1.rev"))
+        .select(
+            F.col("y1.nation").alias("nation"),
+            F.col("y1.c_custkey").alias("c_custkey"),
+            F.col("y1.yr").alias("yr1"),
+            F.col("y1.rev").alias("rev1"),
+            F.col("y2.rev").alias("rev2"),
+            F.col("ny.nation_rev").alias("nation_rev"),
+        )
+    )
+    w = Window.partitionBy("nation", "yr1").orderBy(
+        (F.col("rev2") - F.col("rev1")).desc(), F.col("c_custkey")
+    )
+    return joined.select("*", F.rank().over(w).alias("rk")).where(F.col("rk") <= 5)

@@ -117,3 +117,20 @@ def test_unigram_census_broadcasts_and_reuses_checkpoint(spark):
     # tokenize+explode projection leaked past the checkpoint and runs per use
     assert "FileScan" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
+
+
+def test_deep_cte_computed_once_with_broadcast_dims(spark):
+    """Q29 (query64-class): the 6-way-join CTE must broadcast its dimensions, and the
+    final plan must read the checkpointed CTE (ExistingRDD), never re-run the join —
+    recomputing the CTE per consumer would triple the dominant cost at scale."""
+    from rubix_spark.queries.extended import _q29_cust_sales
+
+    cte_plan = (
+        _q29_cust_sales(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert cte_plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in cte_plan and "CartesianProduct" not in cte_plan
+
+    plan = _plan(spark, "q29_deep_cte")
+    assert "FileScan parquet" not in plan  # every consumer reads the materialized CTE
+    assert plan.count("ExistingRDD") >= 2  # both self-join sides (+ the rollup branch)
