@@ -97,3 +97,70 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple = TABLES) -> N
         if memo.get(name) != key:
             table(spark, sf_dir, name).createOrReplaceTempView(name)
             memo[name] = key
+
+
+# Column-stats targets for ``analyze``: join/filter keys the cost-based optimizer
+# actually consults (min/max for range selectivity, NDV for equi-selectivity and join
+# cardinality). Stats on never-filtered payload columns are wasted ANALYZE time.
+_STATS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_regionkey", "n_name"),
+    "customer": ("c_custkey", "c_nationkey", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_nationkey"),
+    "part": ("p_partkey", "p_brand", "p_type"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_returnflag"),
+    "documents": ("doc_id", "lang", "source"),
+    "embeddings": ("vec_id", "label"),  # no stats on array<float> (unsupported type)
+    "events": ("event_id", "user_id", "event_type"),
+}
+
+
+def analyze(spark: SparkSession, sf_dir: str, names: tuple = TABLES, prefix: str = "rx_") -> dict[str, dict]:
+    """Opt-in ANALYZE/CBO pass — the ``ANALYZE TABLE`` story a 100× scale-up wants.
+
+    AQE fixes plans *during* execution; the cost-based optimizer fixes them *before* —
+    join reordering and broadcast decisions on *filtered* inputs need row counts and
+    column min/max/NDV at planning time (a filtered dimension whose file is 10 GiB but
+    whose surviving rows fit a broadcast is invisible to size-only planning). This
+    registers each fixture as an external parquet table ``<prefix><name>`` in the
+    session catalog, runs ``ANALYZE TABLE`` for table + column statistics, and switches
+    the cost-based optimizer on (``spark.sql.cbo.enabled`` + join reordering — both
+    runtime-settable confs). Queries must read the ``<prefix>`` tables (plain
+    ``spark.table``/SQL) for stats to apply; ``catalog.table``'s path-based reads keep
+    size-only estimation.
+
+    Returns {name: {"rows": int|None, "bytes": int|None}} parsed back from the catalog,
+    so callers (and tests) can see exactly what the optimizer sees.
+
+    On a production deployment this is the nightly stats job over warehouse tables;
+    stats survive in the metastore rather than a session's in-memory catalog.
+    """
+    ensure_session_confs(spark)
+    out: dict[str, dict] = {}
+    for name in names:
+        tbl = f"{prefix}{name}"
+        path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{path}'")
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        cols = _STATS_COLUMNS.get(name)
+        if cols:
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {', '.join(cols)}")
+        stats_row = [
+            r.data_type
+            for r in spark.sql(f"DESC EXTENDED {tbl}").collect()
+            if r.col_name == "Statistics"
+        ]
+        rows = bytes_ = None
+        if stats_row:  # e.g. "33827 bytes, 1500 rows"
+            for part in stats_row[0].split(","):
+                part = part.strip()
+                if part.endswith("rows"):
+                    rows = int(part.split()[0])
+                elif part.endswith("bytes"):
+                    bytes_ = int(part.split()[0])
+        out[name] = {"rows": rows, "bytes": bytes_}
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    return out
