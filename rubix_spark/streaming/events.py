@@ -45,9 +45,14 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     both ns and µs over time; one footer read per directory, memoized)."""
     hit = _TS_UNIT_MEMO.get(sf_dir)
     if hit is None:
+        import glob
+
         import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(os.path.join(sf_dir.rstrip("/"), "events.parquet")).schema_arrow
+        path = os.path.join(sf_dir.rstrip("/"), "events.parquet")
+        if os.path.isdir(path):  # generated fixtures are directories of part-files
+            path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        t = pq.ParquetFile(path).schema_arrow
         hit = getattr(t.field("ts").type, "unit", None) == "ns"
         _TS_UNIT_MEMO[sf_dir] = hit
     return hit
@@ -67,12 +72,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     nanos = _events_ts_is_nanos(sf_dir)
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir.rstrip("/"))
-    )
+    reader = spark.readStream.schema(
+        _EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS
+    ).format("parquet")
+    path = os.path.join(sf_dir.rstrip("/"), "events.parquet")
+    if os.path.isdir(path):
+        # generated fixtures: events.parquet is a directory of part-files — stream it
+        # directly (pathGlobFilter matches leaf file names, so it would see 0 files)
+        raw = reader.load(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir.rstrip("/"))
     if not nanos:
         # TimestampType already (watermarks require it; session tz is UTC so values align)
         return raw
