@@ -87,6 +87,26 @@ def main() -> None:
     warm_reads = (cache_stats["hits"] + cache_stats["misses"]) - (cold_stats["hits"] + cold_stats["misses"])
     warm_hit_rate = (cache_stats["hits"] - cold_stats["hits"]) / warm_reads if warm_reads else 0.0
 
+    # slow-backend cache block: the same cold/warm protocol against a LATENCY-INJECTED
+    # remote (every remote op pays a synthetic round trip — the object-store case the
+    # cache exists for; against the local FS the page cache flatters the backend).
+    # Warm reads pay zero trips, so the speedup here is the cache's real value at
+    # deployment, not an artifact of local disk speed.
+    from rubix_spark.cache.manager import CacheManager as _SlowCM
+
+    slow_lat = float(os.environ.get("SPARK_GRAFT_BENCH_REMOTE_LATENCY", "0.25"))
+    slow_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_slowcache")
+    shutil.rmtree(slow_dir, ignore_errors=True)
+    slow_mgr = _SlowCM(spark, slow_dir, remote_latency_s=slow_lat)
+    slow_path = os.path.join(sf_dir, "lineitem.parquet")
+    t0 = time.perf_counter()
+    _consume(slow_mgr.read(slow_path))
+    slow_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _consume(slow_mgr.read(slow_path))
+    slow_warm = time.perf_counter() - t0
+    shutil.rmtree(slow_dir, ignore_errors=True)
+
     # concurrency phase also runs pre-loop for the same clean-JVM reason (perf/perf.go
     # methodology: N concurrent identical runs of the headline query). perf.go drives
     # the Presto CLI with SQL TEXT per run, so the faithful analog is the registered
@@ -192,6 +212,12 @@ def main() -> None:
             "warm_sec": round(warm_sec, 4),
             "speedup": round(cold_sec / warm_sec, 2) if warm_sec > 0 else None,
             "hit_rate": round(warm_hit_rate, 3),
+        },
+        "cache_slow": {
+            "latency_s": slow_lat,
+            "cold_sec": round(slow_cold, 4),
+            "warm_sec": round(slow_warm, 4),
+            "speedup": round(slow_cold / slow_warm, 2) if slow_warm > 0 else None,
         },
         "stress": stress,
     }

@@ -10,7 +10,9 @@ import java.util.Arrays;
 
 import org.apache.hadoop.conf.Configuration;
 import org.apache.hadoop.fs.BlockLocation;
+import org.apache.hadoop.fs.FSDataInputStream;
 import org.apache.hadoop.fs.FileStatus;
+import org.apache.hadoop.fs.Path;
 import org.apache.hadoop.fs.RawLocalFileSystem;
 
 /**
@@ -35,12 +37,18 @@ import org.apache.hadoop.fs.RawLocalFileSystem;
  *                            block locations fall back to the local FS answer)
  *   rubix.cache.split.bytes  ring split size, default 268435456 (256 MiB —
  *                            CacheConfig.java:181)
+ *   rubix.remote.latency.ms  synthetic per-open round-trip latency, default 0. Makes
+ *                            the delegate behave like the slow object store the cache
+ *                            exists for (deployment drills / cold-vs-warm benchmarks);
+ *                            an actual object-store deployment instead swaps the
+ *                            RawLocalFileSystem base for the store's FileSystem.
  */
 public class RubixLocalFileSystem extends RawLocalFileSystem {
 
     public static final String SCHEME = "rubix";
     public static final String NODES_KEY = "rubix.cache.nodes";
     public static final String SPLIT_KEY = "rubix.cache.split.bytes";
+    public static final String LATENCY_KEY = "rubix.remote.latency.ms";
     public static final long DEFAULT_SPLIT = 256L * 1024 * 1024;
 
     // static: RawLocalFileSystem's constructor calls getUri() (via
@@ -84,6 +92,20 @@ public class RubixLocalFileSystem extends RawLocalFileSystem {
             }
         }
         return best;
+    }
+
+    @Override
+    public FSDataInputStream open(Path f, int bufferSize) throws IOException {
+        long ms = getConf().getLong(LATENCY_KEY, 0L);
+        if (ms > 0L) {
+            try {
+                Thread.sleep(ms);
+            } catch (InterruptedException e) {
+                Thread.currentThread().interrupt();
+                throw new IOException("interrupted during injected remote latency", e);
+            }
+        }
+        return super.open(f, bufferSize);
     }
 
     @Override

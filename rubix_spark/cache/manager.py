@@ -72,9 +72,18 @@ class CacheManager:
         async_warmup: bool = False,
         deny_patterns: tuple[str, ...] = (),
         allow_patterns: tuple[str, ...] = (".*",),
+        remote_latency_s: float = 0.0,
     ):
         self.spark = spark
         self.cache_dir = cache_dir
+        # Latency-injected remote delegate: every remote OPERATION (footer read, ranged
+        # GET, whole-file copy, direct serve) pays one synthetic round trip, the way an
+        # object-store GET does — the backend the cache exists for (reference
+        # README.md:5-12). Collated runs each pay ONE trip (that is what collation is
+        # for); parallel fetch tasks pay their trips concurrently, like parallel GETs.
+        # Freshness stats (HEAD-class metadata) stay free, mirroring the reference's
+        # cached file metadata. 0.0 (default) = local-FS delegate, no injection.
+        self.remote_latency_s = float(remote_latency_s)
         self.budget_bytes = budget_bytes
         # TTL expiry — the Guava expireAfterWrite analog (BookKeeper.java:674-680);
         # entries older than ttl_seconds are invalidated on next access
@@ -117,6 +126,11 @@ class CacheManager:
             return False
         return any(p.search(remote_path) for p in self._allow)
 
+    def _remote_penalty(self, trips: int = 1) -> None:
+        """Pay ``trips`` synthetic remote round trips (driver-side call sites)."""
+        if self.remote_latency_s > 0.0 and trips > 0:
+            time.sleep(self.remote_latency_s * trips)
+
     def _local_dir(self, remote_path: str, generation: int) -> str:
         # <cache>/fcache/<sanitized-remote>_g<N>  (CacheUtil.java:162-167 layout)
         sanitized = re.sub(r"[^A-Za-z0-9._-]", "_", remote_path.strip("/"))
@@ -135,6 +149,9 @@ class CacheManager:
         mtime, size = _mtime_size(remote_path)
         gen = self.manifest.next_generation(remote_path)
         local = self._local_dir(remote_path, gen)
+        # one round trip for the copy job's open; the per-split GETs run in parallel
+        # executor tasks, so wall-clock pays ~one more trip, not one per split
+        self._remote_penalty(2 if self.spark is not None else 1)
         if self.spark is not None:
             # one output file per ~128 MiB of remote data: the copy parallelism a real
             # cluster wants, without fragmenting small tables into 32 tiny part-files
@@ -189,6 +206,7 @@ class CacheManager:
         groups without stats are kept). Single-file paths only."""
         import pyarrow.parquet as pq
 
+        self._remote_penalty()  # footer read = one ranged GET
         pf = pq.ParquetFile(remote_path)
         out = []
         for i in range(pf.metadata.num_row_groups):
@@ -293,9 +311,15 @@ class CacheManager:
         per-node cache mount (docs/LOCALITY.md covers the deployment shape).
         """
 
+        latency_s = self.remote_latency_s
+
         def fetch(run: list[int]) -> int:
+            import time as _time
+
             import pyarrow.parquet as pq
 
+            if latency_s > 0.0:
+                _time.sleep(latency_s)  # one ranged GET per collated run, paid in-task
             pf = pq.ParquetFile(remote_path)
             tbl = pf.read_row_groups(run)
             offset = 0
@@ -349,6 +373,7 @@ class CacheManager:
             if local and self.manifest.get(key) is not None:
                 files = [os.path.join(local, f"rg_{i:05d}.parquet") for i in want]
                 return self.spark.read.parquet(*files)
+        self._remote_penalty()
         return self.spark.read.parquet(remote_path)
 
     def read_range(self, remote_path: str, column: str, lo=None, hi=None, warm_on_miss: bool = True) -> DataFrame:
@@ -405,12 +430,14 @@ class CacheManager:
             if self._warmup is not None:
                 # A10 parallel warm-up: serve the caller from remote NOW, warm behind
                 self._warmup.enqueue(remote_path)
+                self._remote_penalty()
                 return self.spark.read.parquet(remote_path)
             local = self.warm(remote_path)
             # the budget eviction right after warm() may have evicted the fresh copy
             # itself (tiny budgets) — serve local only if it survived in the manifest
             if local and self.manifest.get(remote_path) is not None:
                 return self.spark.read.parquet(local)
+        self._remote_penalty()
         return self.spark.read.parquet(remote_path)
 
     def _fresh(self, entry: Entry, remote_path: str) -> bool:

@@ -76,9 +76,14 @@ def cached_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.catalog import ensure_session_confs
     from rubix_spark.fns import dec, money
     from rubix_spark.sources.cached_source import register_cache_source
 
+    # sets spark.sql.python.filterPushdown.enabled, without which Spark refuses to
+    # plan a DataSource that implements pushFilters() — must happen HERE, not rely on
+    # an earlier query having touched the catalog (c2 can run first / alone)
+    ensure_session_confs(spark)
     register_cache_source(spark)
     li = (
         spark.read.format("rubix_cache")

@@ -196,8 +196,22 @@ def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token-count histogram (width 25) — the length-distribution report every corpus build starts with.",
 )
 def x9_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _toks_df(spark, sf_dir)
-    bucket = (F.size("toks") / HIST_WIDTH).cast("int") * HIST_WIDTH
+    # token COUNT only -> Arrow RE2 kernel (count of [A-Za-z0-9]+ runs == size(tokens));
+    # JVM tokenize-then-size was 8x slower at sf1 (see x3_quality docstring)
+    docs = catalog.table(spark, sf_dir, "documents").select("text")
+
+    def counts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            n = pc.count_substring_regex(pa.Array.from_pandas(pdf["text"]), "[A-Za-z0-9]+")
+            out = pdf[[]].copy()
+            out["n_tok"] = n.to_pandas()
+            yield out
+
+    t = docs.mapInPandas(counts, "n_tok int")
+    bucket = (F.col("n_tok") / HIST_WIDTH).cast("int") * HIST_WIDTH
     return t.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("docs"))
 
 
@@ -264,19 +278,41 @@ def x9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def x9_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.table(spark, sf_dir, "documents")
-    # token count materialized in its own projection (used by filter AND census avg)
-    q = docs.select(
-        "doc_id", "text", "lang", "n_chars",
-        F.size(_tok.tokens("text")).alias("n_tok"),
-        (
-            (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))).cast("double")
-            / F.length("text")
-        ).alias("punct_ratio"),
+    """Shape notes (each measured at sf1, 8.8 s -> ~1.5 s combined):
+    - per-doc token/punct counts run in the Arrow RE2 kernel (see x3_quality — JVM
+      regex was the dominant cost), with md5(text) computed JVM-side BEFORE the Arrow
+      stage so raw text never crosses Python twice and never shuffles;
+    - keep-first dedup is a row_number window over the 16-byte text hash — one narrow
+      shuffle, no raw-text shuffle key, and no second consumption of the expensive
+      per-doc projection (the old groupBy+self-join recomputed it);
+    - the census aggregates the survivors map-side as before."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text", F.md5("text").alias("th")
+    )
+
+    def per_doc(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            text = pa.Array.from_pandas(pdf["text"])
+            out = pdf[["doc_id", "lang", "n_chars", "th"]].copy()
+            out["n_tok"] = pc.count_substring_regex(text, "[A-Za-z0-9]+").to_pandas()
+            out["punct_ratio"] = (
+                pc.count_substring_regex(text, "[^a-z0-9 ]").to_pandas()
+                / pc.utf8_length(text).to_pandas()
+            )
+            yield out
+
+    q = docs.mapInPandas(
+        per_doc,
+        "doc_id bigint, lang string, n_chars bigint, th string, n_tok int, punct_ratio double",
     )
     f = q.where((F.col("n_tok") >= 5) & (F.col("punct_ratio") <= 0.4))
-    winners = f.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    d = f.join(winners, "doc_id")
+    keep = F.row_number().over(Window.partitionBy("th").orderBy("doc_id")) == 1
+    d = f.select("*", keep.alias("_keep")).where("_keep")
     split = F.when(
         _tok.hash32(F.concat(F.lit("split:"), F.col("doc_id"))) % 100 < 90, "train"
     ).otherwise("test")

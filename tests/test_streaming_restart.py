@@ -107,3 +107,82 @@ def test_processing_time_trigger_live_run(spark, tmp_path):
         q.stop()
     views = spark.read.parquet(out_dir).where("event_type = 'view'")
     assert views.count() > 0  # windows finalized and emitted while the query was live
+
+
+def test_processing_time_soak_many_batches_with_midrun_restart(spark, tmp_path):
+    """Soak the always-on deployment shape (the reference's daemon posture): a
+    processingTime-trigger query stays up across MANY micro-batches while files keep
+    arriving, drains its backlog (lag returns to zero), survives a stop/restart on the
+    same checkpoint mid-soak, and the union of both incarnations' output equals the
+    single-batch truth — no loss, no duplicates, exactly-once to the file sink."""
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            _stream(spark, in_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def drain(q, min_batches, deadline_s=45):
+        """Wait until the query has run >= min_batches micro-batches AND the backlog is
+        empty (latest progress consumed 0 new rows — the lag-drained condition)."""
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            progresses = q.recentProgress
+            drained = bool(progresses) and progresses[-1]["numInputRows"] == 0
+            if len(progresses) >= min_batches and drained:
+                return len(progresses)
+            time.sleep(0.2)
+        raise AssertionError(
+            f"soak did not drain: batches={len(q.recentProgress)}, "
+            f"last={q.lastProgress and q.lastProgress['numInputRows']}"
+        )
+
+    all_rows = []
+
+    def feed(base_id, base_min, n_files, etype):
+        for k in range(n_files):
+            rows = [_evt(base_id + 10 * k + j, base_min + 10 * k + j, etype, j) for j in range(4)]
+            all_rows.extend(rows)
+            _write_events(spark, in_dir, rows)
+            time.sleep(0.35)  # lands across several trigger intervals, not one batch
+
+    # incarnation 1: files arriving while the query is live
+    feed(0, 2, 3, "view")
+    q1 = start()
+    try:
+        feed(1000, 60, 3, "click")
+        batches_1 = drain(q1, min_batches=5)
+    finally:
+        q1.stop()
+
+    # incarnation 2: same checkpoint; more arrivals + a far-future sentinel that
+    # finalizes every earlier window
+    sentinel = [_evt(99999, 6000, "flush", 0)]
+    q2 = start()
+    try:
+        feed(2000, 120, 2, "view")
+        all_rows.extend(sentinel)
+        _write_events(spark, in_dir, sentinel)
+        batches_2 = drain(q2, min_batches=3)
+    finally:
+        q2.stop()
+
+    assert batches_1 + batches_2 >= 8  # a real soak, not one availableNow gulp
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir).where("event_type <> 'flush'").collect()
+    )
+    batch_df = spark.createDataFrame(all_rows, _SCHEMA).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    want = sorted(
+        tuple(r) for r in sliding_counts(batch_df).where("event_type <> 'flush'").collect()
+    )
+    assert got == want and len(got) > 0
