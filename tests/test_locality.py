@@ -147,16 +147,20 @@ spark.sparkContext.setLogLevel("ERROR")
 got = spark.read.parquet("rubix://" + path).count()
 assert got == n, (got, n)
 
-# task localities for the scan stage, via the app-status store
-store = spark._jsc.sc().statusStore()
+# task localities for every stage, via the UI REST API (statusStore's Java API has
+# overloaded signatures py4j can't call with None)
+import json as _json
+import urllib.request
+
+app_id = spark.sparkContext.applicationId
+ui = spark.sparkContext.uiWebUrl
+stages = _json.load(urllib.request.urlopen(ui + "/api/v1/applications/" + app_id + "/stages"))
 localities = []
-it = store.stageList(None).iterator()
-while it.hasNext():
-    st = it.next()
-    tl = store.taskList(st.stageId(), st.attemptId(), 1000)
-    jt = tl.iterator()
-    while jt.hasNext():
-        localities.append(str(jt.next().taskLocality()))
+for st in stages:
+    url = (ui + "/api/v1/applications/" + app_id + "/stages/"
+           + str(st["stageId"]) + "/" + str(st["attemptId"]) + "/taskList?length=1000")
+    for task in _json.load(urllib.request.urlopen(url)):
+        localities.append(task["taskLocality"])
 assert localities, "no tasks recorded"
 print(json.dumps({{"host": host, "localities": sorted(set(localities))}}))
 {assertion}

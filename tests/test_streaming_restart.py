@@ -128,19 +128,21 @@ def test_processing_time_soak_many_batches_with_midrun_restart(spark, tmp_path):
             .start()
         )
 
-    def drain(q, min_batches, deadline_s=45):
-        """Wait until the query has run >= min_batches micro-batches AND the backlog is
-        empty (latest progress consumed 0 new rows — the lag-drained condition)."""
+    def drain(q, min_batches, expect_rows, deadline_s=60):
+        """Wait until the query has consumed every row fed to THIS incarnation (a
+        trailing 0-row batch alone can predate the last file being listed), has run
+        >= min_batches micro-batches, and the latest batch consumed 0 new rows."""
         deadline = time.time() + deadline_s
         while time.time() < deadline:
             progresses = q.recentProgress
+            consumed = sum(p["numInputRows"] for p in progresses)
             drained = bool(progresses) and progresses[-1]["numInputRows"] == 0
-            if len(progresses) >= min_batches and drained:
+            if len(progresses) >= min_batches and consumed >= expect_rows and drained:
                 return len(progresses)
             time.sleep(0.2)
         raise AssertionError(
             f"soak did not drain: batches={len(q.recentProgress)}, "
-            f"last={q.lastProgress and q.lastProgress['numInputRows']}"
+            f"consumed={sum(p['numInputRows'] for p in q.recentProgress)}/{expect_rows}"
         )
 
     all_rows = []
@@ -157,7 +159,7 @@ def test_processing_time_soak_many_batches_with_midrun_restart(spark, tmp_path):
     q1 = start()
     try:
         feed(1000, 60, 3, "click")
-        batches_1 = drain(q1, min_batches=5)
+        batches_1 = drain(q1, min_batches=5, expect_rows=24)  # 6 files x 4 rows
     finally:
         q1.stop()
 
@@ -169,7 +171,7 @@ def test_processing_time_soak_many_batches_with_midrun_restart(spark, tmp_path):
         feed(2000, 120, 2, "view")
         all_rows.extend(sentinel)
         _write_events(spark, in_dir, sentinel)
-        batches_2 = drain(q2, min_batches=3)
+        batches_2 = drain(q2, min_batches=3, expect_rows=9)  # 2 files x 4 + sentinel
     finally:
         q2.stop()
 
