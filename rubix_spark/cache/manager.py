@@ -153,11 +153,16 @@ class CacheManager:
         # executor tasks, so wall-clock pays ~one more trip, not one per split
         self._remote_penalty(2 if self.spark is not None else 1)
         if self.spark is not None:
-            # one output file per ~128 MiB of remote data: the copy parallelism a real
-            # cluster wants, without fragmenting small tables into 32 tiny part-files
-            # whose per-file open cost makes the HIT path as slow as the remote read
-            # (measured: warm == cold at sf0.1 before this coalesce)
-            n_parts = max(1, -(-size // (128 * 1024 * 1024)))
+            # one output file per ~16 MiB of remote data. Two measured failure modes
+            # bound this from both sides: 32 tiny part-files for a small table make the
+            # HIT path as slow as the remote read (r2: warm == cold at sf0.1 before
+            # coalescing), and ONE part-file for a 124 MB table makes every warm scan a
+            # single task (r4 at sf1: the cached star join ran 16.7 s warm because the
+            # fact scan had zero parallelism — Spark splits files by byte range, but a
+            # sub-128MiB file is always one split). 16 MiB keeps small tables at one
+            # file and gives an 8-way scan per 128 MiB; on a cluster it also spreads the
+            # copy across executors.
+            n_parts = max(1, -(-size // (16 * 1024 * 1024)))
             (
                 self.spark.read.parquet(remote_path)
                 .coalesce(n_parts)

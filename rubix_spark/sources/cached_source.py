@@ -290,7 +290,15 @@ class RubixCacheDataSource(DataSource):
 
 
 def register_cache_source(spark) -> None:
-    """Register the rubix_cache format with a session."""
+    """Register the rubix_cache format with a session.
+
+    Also sets the session confs the source needs (notably
+    spark.sql.python.filterPushdown.enabled — Spark refuses to plan a DataSource that
+    implements pushFilters() without it); every entry point to this source goes
+    through here, so no caller can hit the scan before the conf is set."""
+    from rubix_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
     spark.dataSource.register(RubixCacheDataSource)
 
 
