@@ -134,3 +134,19 @@ def test_deep_cte_computed_once_with_broadcast_dims(spark):
     plan = _plan(spark, "q29_deep_cte")
     assert "FileScan parquet" not in plan  # every consumer reads the materialized CTE
     assert plan.count("ExistingRDD") >= 2  # both self-join sides (+ the rollup branch)
+
+
+def test_arrow_kernel_text_ops_run_in_pandas_stage(spark):
+    """x3_quality / x9_token_hist / x9_e2e: per-doc regex work must run as ONE Arrow
+    batch stage (MapInPandas), not JVM regex per expression (8x at sf1, see ops/text)."""
+    for name in ("x3_quality", "x9_token_hist", "x9_e2e_pipeline"):
+        assert "MapInPandas" in _plan(spark, name), name
+
+
+def test_e2e_dedup_shuffles_hash_not_text(spark):
+    """x9_e2e's dedup exchange must key on the 16-byte md5, never the raw text column
+    (a raw-text shuffle moves the whole corpus through the wire at 100 TB)."""
+    plan = _plan(spark, "x9_e2e_pipeline")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, plan
+    assert not any("text" in l for l in exchanges), exchanges
