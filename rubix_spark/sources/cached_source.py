@@ -96,7 +96,7 @@ def _parquet_files(path: str) -> list[str]:
     return [path]
 
 
-# parquet footer memo: (path, mtime_ns, size) -> (num_row_groups, arrow_schema, stats)
+# parquet footer memo: (path, mtime_ns, size) -> (num_row_groups, arrow_schema, stats, rows)
 # where stats is [ {col: (min, max, has_nulls)} ] per row group (None where absent).
 # Footer reads cost ~10-30 ms each and repeat per query over the same warmed file —
 # the in-memory-metadata pattern of the reference's BookKeeper (FileMetadata cache).
@@ -113,8 +113,10 @@ def _file_meta(path: str):
         pf = pq.ParquetFile(path)
         md = pf.metadata
         stats = []
+        rows = []
         for rg in range(md.num_row_groups):
             rg_md = md.row_group(rg)
+            rows.append(rg_md.num_rows)
             cols = {}
             for ci in range(rg_md.num_columns):
                 col = rg_md.column(ci)
@@ -122,7 +124,7 @@ def _file_meta(path: str):
                 if s is not None and s.has_min_max:
                     cols[col.path_in_schema] = (s.min, s.max, bool(s.null_count))
             stats.append(cols)
-        hit = (md.num_row_groups, pf.schema_arrow, stats)
+        hit = (md.num_row_groups, pf.schema_arrow, stats, rows)
         pf.close()
         _META_MEMO[key] = hit
     return hit
@@ -211,6 +213,14 @@ def _arrow_expr(filters):
 class _FilePartition(InputPartition):
     file: str
     row_group: int
+    # intra-row-group slice (row offsets): a big file written as ONE row group would
+    # otherwise scan as one task/one Python worker — the slice partitions trade a
+    # repeated (column-pruned) decode for N-way parallelism
+    slice_start: int = 0
+    slice_len: int = -1
+
+# target rows per input partition when slicing a large row group
+_SLICE_ROWS = 131_072
 
 
 class RubixCacheReader(DataSourceReader):
@@ -241,10 +251,15 @@ class RubixCacheReader(DataSourceReader):
             return [_FilePartition(file=self._resolved, row_group=-1)]
         parts = []
         for f in files:
-            n_rg, _, stats = _file_meta(f)
+            n_rg, _, stats, rows = _file_meta(f)
             for rg in range(n_rg):
                 if all(_rg_may_match(flt, stats[rg]) for flt in self._filters):
-                    parts.append(_FilePartition(file=f, row_group=rg))
+                    n = rows[rg]
+                    n_slices = max(1, -(-n // _SLICE_ROWS))
+                    step = -(-n // n_slices)
+                    for s in range(0, n, step):
+                        parts.append(_FilePartition(
+                            file=f, row_group=rg, slice_start=s, slice_len=min(step, n - s)))
         # every row group stats-pruned → an empty-read sentinel (Spark requires ≥1
         # partition; row_group=-2 yields zero batches)
         return parts or [_FilePartition(file=files[0], row_group=-2)]
@@ -261,6 +276,8 @@ class RubixCacheReader(DataSourceReader):
             if partition.row_group >= 0
             else pf.read(**kwargs)
         )
+        if partition.row_group >= 0 and partition.slice_len >= 0:
+            table = table.slice(partition.slice_start, partition.slice_len)
         if self._filters:
             expr = _arrow_expr(self._filters)
             if expr is not None:
@@ -277,7 +294,7 @@ class RubixCacheDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         files = _parquet_files(_resolve(self.options))
-        _, arrow_schema, _ = _file_meta(files[0])
+        _, arrow_schema, _, _ = _file_meta(files[0])
         cols = _columns_option(self.options)
         if cols:
             import pyarrow as pa
