@@ -55,11 +55,29 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Vocabulary census: explode(tokens) → groupBy(token). Partial agg makes the shuffle proportional to vocab, not corpus.",
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.table(spark, sf_dir, "documents")
+    # Arrow kernel partial-count: tokenize + value_counts per batch in C++, emit
+    # (tok, partial cnt) — the shuffle carries vocab×batches rows, not corpus×tokens
+    # (the explode plan shuffled ~10M rows at sf1; this is the map-side-combine the
+    # docstring promises, just executed in the Arrow stage)
+    docs = catalog.table(spark, sf_dir, "documents").select("text")
+
+    def partial_counts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            text = pa.Array.from_pandas(pdf["text"])
+            norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
+            toks = pc.split_pattern(norm, " ").flatten()
+            counts = pc.value_counts(toks)
+            out = counts.field("values").to_pandas().to_frame("tok")
+            out["cnt"] = counts.field("counts").to_pandas()
+            yield out[out["tok"] != ""]
+
+    partial = docs.mapInPandas(partial_counts, "tok string, cnt long")
     return (
-        docs.select(F.explode(_tok.tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
+        partial.groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
         .where(F.col("cnt") >= 10)
     )
 
@@ -334,12 +352,35 @@ def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = catalog.table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tok.tokens("text")).alias("tok"))
-    # tf feeds BOTH the df census and the join — checkpoint it so tokenize+explode+
-    # aggregate runs once, and derive df as COUNT(*) over tf rows (one row per
-    # (doc_id, tok) ⇒ identical to COUNT(DISTINCT doc_id), without the distinct pass)
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint(eager=True)
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # per-doc term frequencies computed wholly inside the Arrow stage (C++ group_by):
+    # docs never span batches, so the per-batch (doc_id, tok) counts are FINAL — the
+    # plan shuffles tf rows only for the window/df, never corpus×tokens exploded rows
+    def tf_rows(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            text = pa.Array.from_pandas(pdf["text"])
+            norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
+            lists = pc.split_pattern(norm, " ")
+            idx = pc.list_parent_indices(lists)
+            flat = lists.flatten()
+            keep = pc.not_equal(flat, "")
+            doc_ids = pa.Array.from_pandas(pdf["doc_id"]).take(idx).filter(keep)
+            toks_arr = flat.filter(keep)
+            agg = (
+                pa.table({"doc_id": doc_ids, "tok": toks_arr})
+                .group_by(["doc_id", "tok"])
+                .aggregate([("tok", "count")])
+            )
+            yield agg.rename_columns(["doc_id", "tok", "tf"]).to_pandas()
+
+    # tf feeds BOTH the df census and the join — checkpoint it so the Arrow pass runs
+    # once, and derive df as COUNT(*) over tf rows (one row per (doc_id, tok) ⇒
+    # identical to COUNT(DISTINCT doc_id), without the distinct pass)
+    tf = docs.mapInPandas(tf_rows, "doc_id bigint, tok string, tf long").localCheckpoint(eager=True)
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = tf.join(df, "tok").select(
         "doc_id", "tok", (F.col("tf").cast("double") / F.col("df")).alias("score")
