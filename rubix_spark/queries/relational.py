@@ -284,16 +284,27 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The CTE self-join on (custkey, d = d-1) IS a window: after the grouping, each
+    # customer's days are unique, so "the row for yesterday" is lag() over
+    # (custkey ORDER BY d) gated on the previous day being exactly d-1. One scan, one
+    # agg, one shuffle — the naive self-join plan runs the scan+agg twice (exchanges
+    # key on d vs d-1, so ReusedExchange can't help; eager checkpointing was measured
+    # slower than the window at every SF).
     orders = catalog.table(spark, sf_dir, "orders")
     s = (
         orders.groupBy("o_custkey", F.to_date("o_orderdate").alias("d"))
         .agg(money(F.sum(dec("o_totalprice")), "t"))
     )
-    a, b = s.alias("a"), s.alias("b")
-    return a.join(
-        b,
-        (F.col("a.o_custkey") == F.col("b.o_custkey")) & (F.col("b.d") == F.date_sub(F.col("a.d"), 1)),
-    ).select(F.col("a.o_custkey").alias("o_custkey"), F.col("a.d").alias("d"), F.col("a.t").alias("t"), F.col("b.t").alias("prev_t"))
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    return (
+        s.select(
+            "o_custkey", "d", "t",
+            F.lag("t").over(w).alias("prev_t"),
+            F.lag("d").over(w).alias("_prev_d"),
+        )
+        .where(F.col("_prev_d") == F.date_sub(F.col("d"), 1))
+        .drop("_prev_d")
+    )
 
 
 # ---------------------------------------------------------------------------
