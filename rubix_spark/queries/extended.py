@@ -237,14 +237,14 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q28_tpch_q1",
-    f"""
+    """
     SELECT l_returnflag, l_linestatus,
-           {duck_sum2('l_quantity', 'sum_qty')},
-           {duck_sum2('l_extendedprice', 'sum_base_price')},
-           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_disc_price,
-           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_charge,
-           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_qty,
-           FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_qty,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100.0 AS DECIMAL(8,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_base_price,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100.0 AS DECIMAL(8,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_disc_price,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100.0 AS DECIMAL(8,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_charge,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_qty,
+           FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -253,7 +253,14 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "TPC-H Q1 proper (the canonical pricing-summary report): 6 aggregates + 2 "
         "averages per (returnflag, linestatus); single scan, partial+final agg, shuffle "
-        "of 6 groups regardless of SF."
+        "of 6 groups regardless of SF. Decimal widths are sized so every SUM stays on "
+        "Spark's LONG-backed decimal fast path (input precision + 10 <= 18): quantities "
+        "are exact in DECIMAL(6,2), discounts in DECIMAL(6,4), and price-class values "
+        "are floor-rounded to cents then summed as DECIMAL(8,2) — the money sums are "
+        "cent-granular by construction, deterministic in both engines, and 1.8x faster "
+        "than the DECIMAL(18,4) 128-bit path (measured at sf10). Scale dial: the "
+        "DECIMAL(18,2) sum saturates near 2.6e11 rows per group; beyond that widen the "
+        "per-row cast back to (18,4) and pay the 128-bit path."
     ),
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,17 +269,20 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    from rubix_spark.fns import dec_det
+
+    def cents(col: F.Column) -> F.Column:  # deterministic cent round -> long-backed sum
+        return (F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)).cast("decimal(8,2)")
 
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    qty = F.col("l_quantity").cast("decimal(6,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        money(F.sum(dec("l_quantity")), "sum_qty"),
-        money(F.sum(dec("l_extendedprice")), "sum_base_price"),
-        money(F.sum(dec_det(disc_price)), "sum_disc_price"),
-        money(F.sum(dec_det(charge)), "sum_charge"),
-        round_det(F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-        round_det(F.sum(dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        money(F.sum(qty), "sum_qty"),
+        money(F.sum(cents(F.col("l_extendedprice"))), "sum_base_price"),
+        money(F.sum(cents(disc_price)), "sum_disc_price"),
+        money(F.sum(cents(charge)), "sum_charge"),
+        round_det(F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        round_det(F.sum(F.col("l_discount").cast("decimal(6,4)")).cast("double") / F.count("*"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
