@@ -48,10 +48,14 @@ def main() -> None:
     # Size-aware planning mode: AQE's stage-by-stage re-optimization costs ~35% latency on
     # sub-GB inputs (measured) while its benefits (runtime join selection, skew splitting,
     # partition coalescing) only matter at scale — so choose by input size, the same
-    # decision a production job would make from table stats.
-    small_input = _dir_bytes(sf_dir) < 2 * 1024**3
+    # decision a production job would make from table stats. Shuffle partitions scale
+    # with the input too (one per ~64 MiB, floor 8): AQE can merge partitions but never
+    # split an under-partitioned shuffle (sf10 measured: a 60M-row join on 8 partitions).
+    input_bytes = _dir_bytes(sf_dir)
+    small_input = input_bytes < 1024**3
     spark = get_session(
         app_name="rubix-spark-bench",
+        shuffle_partitions=max(8, input_bytes // (64 * 1024**2)),
         extra_conf={"spark.sql.adaptive.enabled": str(not small_input).lower()},
     )
     spark.sparkContext.setLogLevel("ERROR")
