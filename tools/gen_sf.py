@@ -77,6 +77,9 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
 
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_session(app_name="gen-sf")
     ensure_session_confs(spark)
     # µs on disk so every reader (incl. pyarrow footer unit detection) sees micros
@@ -141,7 +144,10 @@ def main() -> None:
         df.repartition(parts).write.mode("overwrite").parquet(f"{args.out}/{t}.parquet")
         print(f"{t}: x{args.factor} -> {parts} files")
 
-    spark.stop()
+    # only stop a session this CLI created — getOrCreate() may have handed us a
+    # caller's live session (the test suite drives main() against its shared fixture)
+    if not preexisting:
+        spark.stop()
 
 
 if __name__ == "__main__":
