@@ -329,6 +329,12 @@ def _dot(a, b):
     )
 
 
+# Perf note (round 4): unrolling this fold into a flat 64-term element_at chain was
+# measured MUCH slower at sf1 (>300 s vs 42 s) — the generated method blows past the
+# JIT size limits and runs as interpreted bytecode. The HOF fold is the best
+# SQL-expressible form; the BLAS twin (x1_embedding_neardup_np) is the scale path.
+
+
 _DUCK_DOT = (
     "list_aggregate(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
