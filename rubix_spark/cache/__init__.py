@@ -11,11 +11,15 @@ Hadoop FileSystem API (``rubix-core/.../CachingFileSystem.java``,
   materializes hot parquet onto local disk with a distributed ``spark.read → write`` copy
   and rewrites reads to the local copy.
 
-Deliberately NOT ported (SURVEY.md §7 risk register): the cross-NODE read chains
-(NonLocalReadRequestChain, A8/A9) — the locality shim (``cache/locality.py``) schedules
-the scan task onto the owning node instead, and off-ring tasks read remote directly;
-and the thrift RPC tier (A22-A23) — coordination state lives in the file-locked
-manifest, not a service.
+Round-4 update — both former design-outs now have executable analogs:
+- cross-NODE read chains (NonLocalReadRequestChain, A8/A9): the locality shim
+  (``cache/locality.py``) remains the first line (schedule the task onto the owning
+  node), and an off-preference task's miss now pulls the owner daemon's cached copy
+  over the socket (``CacheManager(peer_client=…)`` + ``server.py`` fetch) before
+  paying the remote;
+- the RPC tier (A22-A23): ``cache/server.py`` is the BookKeeper-daemon analog
+  (JSON/TCP, pooled retrying client); cross-process coordination state still lives in
+  the file-locked manifest, the daemon adds the remote-client surface.
 
 The LDTS's actual job (A20) — several ENGINE PROCESSES on one node serving each
 other's cached blocks (the reference's Presto+Spark+Hive-share-one-BookKeeper

@@ -73,6 +73,7 @@ class CacheManager:
         deny_patterns: tuple[str, ...] = (),
         allow_patterns: tuple[str, ...] = (".*",),
         remote_latency_s: float = 0.0,
+        peer_client=None,
     ):
         self.spark = spark
         self.cache_dir = cache_dir
@@ -84,6 +85,11 @@ class CacheManager:
         # Freshness stats (HEAD-class metadata) stay free, mirroring the reference's
         # cached file metadata. 0.0 (default) = local-FS delegate, no injection.
         self.remote_latency_s = float(remote_latency_s)
+        # A8/A9 non-local read chain: on a miss, ask a peer node's cache daemon
+        # (cache/server.py CacheClient) for its CACHED copy BEFORE paying the remote —
+        # the reference's NonLocalReadRequestChain / LocalDataTransferServer pair.
+        # Peer fetch is LAN-class; remote is object-store-class (remote_latency_s).
+        self.peer_client = peer_client
         self.budget_bytes = budget_bytes
         # TTL expiry — the Guava expireAfterWrite analog (BookKeeper.java:674-680);
         # entries older than ttl_seconds are invalidated on next access
@@ -117,6 +123,7 @@ class CacheManager:
             "invalidations": 0,
             "warmed_files": 0,
             "fallbacks": 0,
+            "peer_fetches": 0,
         }
 
     # ------------------------------------------------------------------ policy
@@ -432,6 +439,9 @@ class CacheManager:
         with self._lock:
             self._counters["misses"] += 1
         if warm_on_miss and self.cacheable(remote_path) and not self.dummy:
+            local = self._fetch_from_peer(remote_path)
+            if local is not None:
+                return self.spark.read.parquet(local)
             if self._warmup is not None:
                 # A10 parallel warm-up: serve the caller from remote NOW, warm behind
                 self._warmup.enqueue(remote_path)
@@ -444,6 +454,44 @@ class CacheManager:
                 return self.spark.read.parquet(local)
         self._remote_penalty()
         return self.spark.read.parquet(remote_path)
+
+    def _fetch_from_peer(self, remote_path: str) -> str | None:
+        """A8/A9: pull a peer daemon's CACHED copy into this node's cache on a miss.
+
+        Costs one LAN transfer instead of an object-store read (which pays
+        ``remote_latency_s`` per trip here). The fetched copy commits through the
+        normal generation CAS, so staleness/eviction semantics are identical to a
+        locally-warmed entry; a losing CAS (someone re-warmed concurrently) discards
+        the fetch. Any peer failure degrades silently to the remote path — peer
+        serving is an optimization, never a correctness dependency."""
+        if self.peer_client is None:
+            return None
+        try:
+            status = self.peer_client.get_cache_status(remote_path)
+            if status.get("state") != CACHED:
+                return None
+            gen = self.manifest.next_generation(remote_path)
+            local = self._local_dir(remote_path, gen)
+            header = self.peer_client.fetch(remote_path, local)
+            committed = self.manifest.put(
+                Entry(
+                    remote_path=remote_path,
+                    local_path=local,
+                    size_bytes=header["size_bytes"],
+                    last_modified=header["last_modified"],
+                    generation=gen,
+                    state=CACHED,
+                )
+            )
+            if not committed:
+                shutil.rmtree(local, ignore_errors=True)
+                return None
+            with self._lock:
+                self._counters["peer_fetches"] += 1
+            self.evict_to_budget()
+            return local if self.manifest.get(remote_path) is not None else None
+        except Exception:
+            return None  # degrade to remote
 
     def _fresh(self, entry: Entry, remote_path: str) -> bool:
         """A16 staleness: compare remote lastModified/size with the cached values.

@@ -23,6 +23,9 @@ Methods (reference analog in parens):
 - ``validate(repair)``         — local-copy sweep
 - ``evict(budget_bytes)``      — LRU eviction to budget
 - ``ping()``                   — liveness (the heartbeat the reference's coordinator polls)
+- ``fetch(path)``              — serve this node's CACHED copy to a peer: a JSON header
+  listing (name, size) per part file followed by the raw bytes, the
+  LocalDataTransferServer data plane (A8/A9 non-local read) on the same socket
 
 Scale posture: one daemon per node, owning that node's cache dir — identical to the
 reference's deployment. The server is I/O-bound (file copies) so a thread per
@@ -49,14 +52,38 @@ class _Handler(socketserver.StreamRequestHandler):
             line = line.strip()
             if not line:
                 continue
+            payload: list[str] = []  # file paths whose raw bytes follow the JSON line
             try:
                 req = json.loads(line)
-                result = self._dispatch(mgr, req.get("method"), req.get("params") or {})
+                method = req.get("method")
+                if method == "fetch":
+                    result, payload = self._fetch_header(mgr, req.get("params") or {})
+                else:
+                    result = self._dispatch(mgr, method, req.get("params") or {})
                 resp = {"ok": True, "result": result}
             except Exception as exc:  # protocol errors go back to the client, not the log
                 resp = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+                payload = []
             self.wfile.write((json.dumps(resp) + "\n").encode())
+            for path in payload:  # binary frames, sizes pre-announced in the header
+                with open(path, "rb") as f:
+                    while chunk := f.read(1 << 20):
+                        self.wfile.write(chunk)
             self.wfile.flush()
+
+    @staticmethod
+    def _fetch_header(mgr: CacheManager, p: dict):
+        entry = mgr.manifest.get(p["path"])
+        if entry is None or entry.state != "CACHED":
+            raise FileNotFoundError(f"not cached here: {p['path']}")
+        local = entry.local_path
+        names = sorted(f for f in os.listdir(local) if f.endswith(".parquet"))
+        files = [{"name": n, "size": os.path.getsize(os.path.join(local, n))} for n in names]
+        return (
+            {"files": files, "generation": entry.generation,
+             "size_bytes": entry.size_bytes, "last_modified": entry.last_modified},
+            [os.path.join(local, n) for n in names],
+        )
 
     @staticmethod
     def _dispatch(mgr: CacheManager, method: str, p: dict):
@@ -159,6 +186,44 @@ class CacheClient:
                     self.close()
                     time.sleep(0.05 * (attempt + 1))
         raise ConnectionError(f"cache server unreachable after {self.retries} tries: {last}")
+
+    def fetch(self, path: str, dest_dir: str) -> dict:
+        """Download the peer's CACHED copy of ``path`` into ``dest_dir`` (A8/A9: the
+        non-local read chain — LocalDataTransferServer serving a neighbor's blocks).
+        Returns the fetch header (files, generation, remote size/mtime). Raises on a
+        peer miss; the caller falls back to the remote."""
+        import os
+
+        last: Exception | None = None
+        with self._lock:
+            for attempt in range(self.retries):
+                try:
+                    if self._sock is None:
+                        self._connect()
+                    msg = json.dumps({"method": "fetch", "params": {"path": path}}) + "\n"
+                    self._sock.sendall(msg.encode())
+                    resp = json.loads(self._rfile.readline() or b"{}")
+                    if not resp.get("ok"):
+                        raise FileNotFoundError(resp.get("error", "peer fetch failed"))
+                    header = resp["result"]
+                    os.makedirs(dest_dir, exist_ok=True)
+                    for f in header["files"]:
+                        remaining = f["size"]
+                        with open(os.path.join(dest_dir, f["name"]), "wb") as out:
+                            while remaining:
+                                chunk = self._rfile.read(min(remaining, 1 << 20))
+                                if not chunk:
+                                    raise ConnectionError("peer stream truncated")
+                                out.write(chunk)
+                                remaining -= len(chunk)
+                    return header
+                except FileNotFoundError:
+                    raise  # a genuine peer miss — no point retrying
+                except (OSError, ConnectionError, json.JSONDecodeError) as exc:
+                    last = exc
+                    self.close()
+                    time.sleep(0.05 * (attempt + 1))
+        raise ConnectionError(f"peer unreachable after {self.retries} tries: {last}")
 
     def close(self) -> None:
         try:

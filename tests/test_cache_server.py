@@ -96,3 +96,46 @@ def test_client_retries_reach_late_server(tmp_path):
         c.close()
     finally:
         srv.shutdown()
+
+
+def test_nonlocal_read_chain_peer_serves_before_remote(tmp_path, spark):
+    """A8/A9: a miss on node B pulls node A's cached copy over the daemon socket
+    instead of paying the (slow) remote — and commits it through the normal
+    generation CAS so B serves locally from then on."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from rubix_spark.cache.manager import CacheManager
+    from rubix_spark.cache.server import CacheClient, CacheServer
+
+    node_a = CacheServer(str(tmp_path / "node_a"))
+    node_a.serve_background()
+    host, port = node_a.address
+    try:
+        node_a.manager.warm(ORDERS)  # owner node has it cached
+
+        LAT = 2.0  # remote trips cost 2 s each; LAN peer fetch costs none
+        node_b = CacheManager(
+            spark, str(tmp_path / "node_b"), remote_latency_s=LAT,
+            peer_client=CacheClient(host, port),
+        )
+        t0 = _time.perf_counter()
+        df = node_b.read(ORDERS)
+        got = df.agg(F.sum("o_orderkey")).collect()
+        elapsed = _time.perf_counter() - t0
+        assert elapsed < LAT  # served via peer: zero remote trips
+        assert node_b.stats()["peer_fetches"] == 1 and node_b.stats()["misses"] == 1
+        assert got == spark.read.parquet(ORDERS).agg(F.sum("o_orderkey")).collect()
+
+        # second read: B's own cache hits, no peer round trip needed
+        node_b.read(ORDERS)
+        assert node_b.stats()["hits"] == 1 and node_b.stats()["peer_fetches"] == 1
+
+        # peer miss degrades to the remote path, correctness preserved
+        lineitem = f"{SF_SMOKE}/lineitem.parquet"
+        df2 = node_b.read(lineitem)
+        assert node_b.stats()["peer_fetches"] == 1  # peer had nothing to serve
+        assert df2.count() == spark.read.parquet(lineitem).count()
+    finally:
+        node_a.shutdown()
