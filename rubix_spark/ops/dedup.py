@@ -528,3 +528,124 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh(spark, sf_dir)
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster embeddings, drop within-cluster near-dups)
+# ---------------------------------------------------------------------------
+# Reuses the similarity module's IVF codebook + assignment (same centroid set, same
+# argmax tie-break, already oracle-proven by x2_ann_ivf) — cluster-then-prune is
+# exactly how SemDeDup (Abbas et al. 2023) bounds pairwise work on web-scale corpora.
+from rubix_spark.ops import similarity as _sim  # noqa: E402  (no import cycle: similarity does not import dedup)
+
+SEM_TAU = 0.4  # demo-calibrated like x1_embedding_neardup (random vectors top out ~0.47)
+
+
+@register(
+    "x1_semantic_dedup",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < {_sim.N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_sim._duck_cos('v.embedding', 'c.ce')} DESC, c.cid)
+                       AS rn
+            FROM embeddings v, cent c
+        ) WHERE rn = 1
+    ),
+    nr AS (SELECT vec_id, cid, embedding,
+                  sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+           FROM assign),
+    e AS (SELECT vec_id, cid, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+          FROM nr),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_DUCK_DOT.format(a='a.ne', b='b.ne')} >= {SEM_TAU}
+    )
+    SELECT e.vec_id, e.cid, CAST(d.vec_id IS NULL AS INT) AS kept
+    FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    """,
+    doc=(
+        "Semantic dedup (SemDeDup shape): every embedding is assigned to its nearest "
+        "codebook centroid (the x2_ann_ivf build pass), then near-duplicates are pruned "
+        "WITHIN each cluster only — keep the lowest vec_id of any pair with cosine >= "
+        f"{SEM_TAU}. Emits (vec_id, cluster, kept). Pairwise work is O(sum cluster^2), "
+        "never global O(n^2); at 100 TB the assignment is a zero-shuffle broadcast-"
+        "codebook pass and the prune shuffles once on cid."
+    ),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    cents, _ = _sim._ivf_codebook(emb, (), memo_key=sf_dir)
+    assign = _sim._ivf_assign(emb, cents)
+    # norm in its own projection, then checkpoint: ``e`` is consumed three times (both
+    # join sides + the final kept-flag projection) and projection collapse would
+    # otherwise re-inline the interpreted normalize per consumer (invariant 3)
+    n = assign.select(
+        "vec_id", "cid", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    e = n.select(
+        "vec_id", "cid",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("ne"),
+    ).localCheckpoint(eager=True)
+    a, b = e.alias("a"), e.alias("b")
+    scored = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            _dot(F.col("a.ne"), F.col("b.ne")).alias("s"),
+            # rand sentinel pins the threshold filter above this projection so the
+            # 64-element fold evaluates once per pair (invariant 10)
+            F.rand(42).alias("_nd"),
+        )
+    )
+    dropped = scored.where(F.col("s") >= SEM_TAU).select("vec_id").distinct()
+    return e.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left").select(
+        "vec_id", "cid", F.col("_d").isNull().cast("int").alias("kept")
+    )
+
+
+def _sem_block(pdf):
+    """Per-cluster numpy kernel: normalize, one matmul, drop the higher vec_id of any
+    pair over SEM_TAU; emit every row with its kept flag."""
+    import numpy as np
+    import pandas as pd
+
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.where(norms == 0, 1.0, norms)
+    sims = m @ m.T
+    ids = pdf["vec_id"].to_numpy()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    mask = sims[ii, jj] >= SEM_TAU
+    dropped = set(np.maximum(ids[ii[mask]], ids[jj[mask]]).tolist())
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cid": pdf["cid"].to_numpy(),
+            "kept": np.array([0 if i in dropped else 1 for i in ids], dtype=np.int32),
+        }
+    )
+
+
+@register(
+    "x1_semantic_dedup_np",
+    None,  # rows-only: BLAS matmul sums in SIMD order — last-ulp diff vs the sequential oracle
+    doc=(
+        "Vectorized scale path for semantic dedup: per-cluster numpy matmul inside "
+        "applyInPandas (one Arrow batch per centroid bucket). Same cluster-then-prune "
+        "shape as x1_semantic_dedup, which carries the exact-match proof; the repo "
+        "suite asserts the two select identical kept sets."
+    ),
+)
+def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    cents, _ = _sim._ivf_codebook(emb, (), memo_key=sf_dir)
+    assign = _sim._ivf_assign(emb, cents)
+    return assign.groupBy("cid").applyInPandas(
+        _sem_block, schema="vec_id bigint, cid bigint, kept int"
+    )

@@ -389,3 +389,129 @@ def x9_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_boiler_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + domain mixture — the two steps between "clean corpus" and
+# "training shards" that the earlier x9 ops didn't cover
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 512  # context-window token budget per packed bin
+PACK_BLOCK = 256   # doc_id-range block for the two-level distributed prefix sum
+
+
+def _ntok_df(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *cols, n_tok) with the token COUNT from the Arrow RE2 kernel — a run of
+    [A-Za-z0-9]+ is exactly one token of ``_tok.tokens`` (see x9_token_hist; JVM
+    tokenize-then-size was 8x slower at sf1)."""
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", *cols, "text")
+    keep = ["doc_id", *cols]
+    schema = ", ".join(
+        [f"{c} bigint" if c in ("doc_id", "n_chars") else f"{c} string" for c in keep]
+    )
+
+    def counts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out["n_tok"] = pc.count_substring_regex(
+                pa.Array.from_pandas(pdf["text"]), "[A-Za-z0-9]+"
+            ).to_pandas()
+            yield out
+
+    return docs.mapInPandas(counts, f"{schema}, n_tok int")
+
+
+@register(
+    "x9_pack",
+    f"""
+    WITH t AS (SELECT doc_id, len({_tok.duck_tokens('text')}) AS n_tok FROM documents),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM t
+    )
+    SELECT CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY 1
+    """,
+    doc=(
+        "Sequence packing: docs are laid end-to-end in doc_id order and sliced into "
+        f"{PACK_BUDGET}-token context windows; a doc's bin is where its first token "
+        "lands (the concatenate-then-slice packing a training loader does). Emits "
+        "per-bin doc/token counts."
+    ),
+)
+def x9_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the oracle's global ORDER BY cumsum would funnel the whole corpus
+    through ONE window task. Instead: block-local cumsum (window partitioned by
+    doc_id range) + a tiny per-block offset table (one row per ~256 docs, cumsum'd in
+    a single cheap window over #blocks rows, broadcast back). Integer telescoping makes
+    the two-level sum bit-identical to the oracle's single window."""
+    from pyspark.sql import Window
+
+    t = _ntok_df(spark, sf_dir).withColumn(
+        "blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint")
+    )
+    w_in = (
+        Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
+    totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn("boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))).select(
+        "blk", "boff"
+    )
+    c = local.join(F.broadcast(offs), "blk").withColumn("cum", F.col("lcum") + F.col("boff"))
+    start = F.col("cum") - F.col("n_tok")
+    return c.groupBy(F.floor(start / F.lit(float(PACK_BUDGET))).alias("bin_id")).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "x9_mixture",
+    f"""
+    WITH t AS (
+        SELECT source, COUNT(*) AS docs,
+               CAST(SUM(len({_tok.duck_tokens('text')})) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS all_toks, COUNT(*) AS n_src FROM t)
+    SELECT source, docs, toks,
+           FLOOR(toks / CAST(all_toks AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS share,
+           FLOOR(all_toks / CAST(n_src * toks AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS weight
+    FROM t, tot
+    """,
+    doc=(
+        "Domain-mixture weights: per-source token share of the corpus, and the "
+        "sampling weight (target/actual share) that re-balances the mixture to uniform "
+        "across sources — the knob a pretraining data recipe turns. Integer token "
+        "totals (exact cross-engine), one double division at the end."
+    ),
+)
+def x9_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        _ntok_df(spark, sf_dir, ("source",))
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("toks"))
+    )
+    tot = t.agg(
+        F.sum("toks").alias("all_toks"), F.count("*").alias("n_src")
+    )
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "toks",
+        round_det(F.col("toks") / F.col("all_toks").cast("double"), 6).alias("share"),
+        round_det(
+            F.col("all_toks") / (F.col("n_src") * F.col("toks")).cast("double"), 6
+        ).alias("weight"),
+    )

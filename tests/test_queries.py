@@ -66,3 +66,11 @@ def test_approx_distinct_within_rsd(spark):
     row = REGISTRY["x6_approx_distinct"].builder(spark, SF).collect()[0]
     assert row.exact_dc > 0
     assert abs(row.approx_dc - row.exact_dc) <= 3 * 0.02 * row.exact_dc, row
+
+
+def test_semantic_dedup_np_agrees_with_exact_variant(spark):
+    """The BLAS-vectorized semantic dedup (rows-only gate) must keep the same vectors
+    as the oracle-checked sequential variant — only last-ulp sims may differ."""
+    exact = {(r.vec_id, r.cid, r.kept) for r in REGISTRY["x1_semantic_dedup"].builder(spark, SF).collect()}
+    npv = {(r.vec_id, r.cid, r.kept) for r in REGISTRY["x1_semantic_dedup_np"].builder(spark, SF).collect()}
+    assert exact == npv
