@@ -454,8 +454,14 @@ def x9_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-level sum bit-identical to the oracle's single window."""
     from pyspark.sql import Window
 
-    t = _ntok_df(spark, sf_dir).withColumn(
-        "blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint")
+    # checkpoint the narrow (doc_id, n_tok, blk) table: both the block-local cumsum and
+    # the block-totals side consume it, and without the checkpoint each re-runs the
+    # Arrow token-count kernel over the full corpus (invariant 3 — at 100 TB you'd
+    # materialize this counts table once anyway)
+    t = (
+        _ntok_df(spark, sf_dir)
+        .withColumn("blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint"))
+        .localCheckpoint(eager=True)
     )
     w_in = (
         Window.partitionBy("blk").orderBy("doc_id")

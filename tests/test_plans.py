@@ -150,3 +150,27 @@ def test_e2e_dedup_shuffles_hash_not_text(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchanges, plan
     assert not any("text" in l for l in exchanges), exchanges
+
+
+def test_pack_prefix_sum_is_two_level(spark):
+    """x9_pack: the corpus-wide cumsum must NOT be one global window over the data —
+    the big side's window is partitioned by block, and only the tiny per-block offset
+    table (one row per ~256 docs) funnels through a single partition before being
+    broadcast back."""
+    plan = _plan(spark, "x9_pack")
+    # block-partitioned window over the data side
+    assert "windowspecdefinition(blk" in plan, plan
+    # offsets come back as a broadcast, never a shuffled join on the corpus
+    assert "BroadcastHashJoin" in plan, plan
+    # the single-partition exchange only ever feeds the (aggregated) offsets window,
+    # which sits under the broadcast side
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_semantic_dedup_blocked_join(spark):
+    """x1_semantic_dedup: the within-cluster prune must be an equi-join on cid —
+    never an unblocked O(n^2) product — and the codebook argmax must be a literal
+    array (evaluated once per row), not a per-row CreateArray."""
+    plan = _plan(spark, "x1_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
