@@ -429,3 +429,65 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev2") - F.col("rev1")).desc(), F.col("c_custkey")
     )
     return joined.select("*", F.rank().over(w).alias("rk")).where(F.col("rk") <= 5)
+
+
+@register(
+    "q30_yoy_delta",
+    """
+    WITH s AS (
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        UNION ALL
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    y AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr, p.p_brand AS brand,
+               SUM(CAST(l_quantity AS DECIMAL(6,2))) AS tot
+        FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+               JOIN part p ON s.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT brand, yr, tot, LAG(tot) OVER (PARTITION BY brand ORDER BY yr) AS prev
+        FROM y
+    )
+    SELECT brand, yr,
+           FLOOR(CAST(prev AS DOUBLE) * 100 + 0.5) / 100.0 AS prev_qty,
+           FLOOR(CAST(tot AS DOUBLE) * 100 + 0.5) / 100.0 AS cur_qty,
+           FLOOR(CAST(tot - prev AS DOUBLE) * 100 + 0.5) / 100.0 AS delta
+    FROM d WHERE prev IS NOT NULL AND tot < prev
+    """,
+    doc=(
+        "Year-over-year decline report (TPC-DS query75 class, the rubix-stress shape "
+        "rubix-stress/queries/query75.sql): UNION ALL of two channel scans -> join to "
+        "orders + part -> per-(year, brand) decimal quantity totals -> prior-year "
+        "comparison, keeping declining brands. The prior-year lookup is a LAG window "
+        "per brand, not a self-join: a y-vs-y self-join keyed on yr vs yr+1 can never "
+        "ReusedExchange (the q9 lesson), while the window reuses the grouped exchange."
+    ),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = catalog.load(spark, sf_dir, ("lineitem", "orders", "part"))
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    s = li.where(F.col("l_returnflag") == "R").unionByName(
+        li.where(F.col("l_returnflag") != "R")
+    )
+    y = (
+        s.join(t["orders"].select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("tot"))
+    )
+    w = Window.partitionBy("brand").orderBy("yr")
+    d = y.select("brand", "yr", "tot", F.lag("tot").over(w).alias("prev"))
+    return d.where(F.col("prev").isNotNull() & (F.col("tot") < F.col("prev"))).select(
+        "brand", "yr",
+        money(F.col("prev"), "prev_qty"),
+        money(F.col("tot"), "cur_qty"),
+        money(F.col("tot") - F.col("prev"), "delta"),
+    )
