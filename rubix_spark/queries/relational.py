@@ -540,15 +540,22 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o2 WHERE o2.o_custkey = o.o_custkey
     )
     """,
-    doc="Decorrelated form: per-customer aggregate + equi-join back — exactly what Catalyst produces for the subquery.",
+    doc=(
+        "Correlated scalar subquery (each order vs its customer's average). The "
+        "textbook decorrelation is per-customer aggregate + equi-join back; the engine "
+        "runs the tighter window form — avg over PARTITION BY o_custkey, then filter — "
+        "one scan and ONE shuffle instead of two of each (the q9 lesson: the join form "
+        "re-exchanges the same rows and can never ReusedExchange)."
+    ),
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     orders = catalog.table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_t")
-    )
+    w = Window.partitionBy("o_custkey")
+    avg_t = F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)
     return (
-        orders.join(per_cust, orders["o_custkey"] == per_cust["k"])
+        orders.select("o_orderkey", "o_totalprice", avg_t.alias("avg_t"))
         .where(F.col("o_totalprice") > F.col("avg_t"))
         .select("o_orderkey", "o_totalprice")
     )
