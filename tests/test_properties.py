@@ -109,3 +109,45 @@ def test_ring_removal_only_remaps_keys_of_the_removed_node(nodes, keys):
     for k, owner in before.items():
         if owner != victim:
             assert locate_key(k, survivors) == owner
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9), st.integers(min_value=0, max_value=10**6)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_two_level_prefix_sum_model(rows):
+    """x9_pack's distributed form: block-local cumsum + per-block offsets telescopes to
+    the oracle's single global cumsum for ANY doc_id spacing / token counts, and the
+    double-division bin assignment floor((cum - n)/512.0) is exact while cumsum < 2^53
+    (the documented scale dial — a 100 TB corpus is ~2.5e13 tokens, still inside it)."""
+    rows = sorted(rows)
+    budget, block = 512, 256
+    # global model (the oracle)
+    cum = 0
+    want = []
+    for doc_id, n in rows:
+        cum += n
+        want.append(math.floor((cum - n) / float(budget)))
+    # two-level model (the Spark plan): per-block local cumsum + offset of prior blocks
+    from collections import defaultdict
+
+    btot = defaultdict(int)
+    for doc_id, n in rows:
+        btot[doc_id // block] += n
+    boff = {}
+    run = 0
+    for b in sorted(btot):
+        boff[b] = run
+        run += btot[b]
+    lcum = defaultdict(int)
+    got = []
+    for doc_id, n in rows:
+        b = doc_id // block
+        lcum[b] += n
+        got.append(math.floor((boff[b] + lcum[b] - n) / float(budget)))
+    assert got == want
