@@ -521,3 +521,92 @@ def x9_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("all_toks") / (F.col("n_src") * F.col("toks")).cast("double"), 6
         ).alias("weight"),
     )
+
+
+@register(
+    "x9_e2e_shards",
+    f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               len({_tok.duck_tokens('text')}) AS n_tok,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / LENGTH(text) AS punct_ratio
+        FROM documents
+    ),
+    f AS (SELECT * FROM q WHERE n_tok >= 5 AND punct_ratio <= 0.4),
+    w AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+    d AS (SELECT f.doc_id, f.n_tok FROM f JOIN w USING (doc_id)),
+    tr AS (SELECT doc_id, n_tok FROM d
+           WHERE {_tok.duck_hash32("concat('split:', doc_id)")} % 100 < 90),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM tr
+    )
+    SELECT CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1
+    """,
+    doc=(
+        "Corpus -> training shards in ONE declarative plan: the x9_e2e quality gate "
+        "(token floor + punctuation ceiling) -> exact dedup keep-first -> stable 90/10 "
+        "hash split -> the TRAIN shard packed into 512-token context windows via the "
+        "x9_pack two-level prefix sum. The last mile of a 100 TB prep job: every stage "
+        "is an operator verified in isolation, composed with no intermediate "
+        "materialization beyond the narrow (doc_id, n_tok) checkpoint both prefix-sum "
+        "consumers read."
+    ),
+)
+def x9_e2e_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kernel/dedup shapes as x9_e2e_pipeline (Arrow RE2 per-doc counts, md5
+    computed JVM-side, row_number dedup over the 16-byte hash); the pack stage
+    checkpoints the surviving (doc_id, n_tok) rows — 16 B/row — because the block
+    cumsum and the block totals both consume them (invariant 3)."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.md5("text").alias("th")
+    )
+
+    def per_doc(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            text = pa.Array.from_pandas(pdf["text"])
+            out = pdf[["doc_id", "th"]].copy()
+            out["n_tok"] = pc.count_substring_regex(text, "[A-Za-z0-9]+").to_pandas()
+            out["punct_ratio"] = (
+                pc.count_substring_regex(text, "[^a-z0-9 ]").to_pandas()
+                / pc.utf8_length(text).to_pandas()
+            )
+            yield out
+
+    q = docs.mapInPandas(per_doc, "doc_id bigint, th string, n_tok int, punct_ratio double")
+    f = q.where((F.col("n_tok") >= 5) & (F.col("punct_ratio") <= 0.4))
+    keep = F.row_number().over(Window.partitionBy("th").orderBy("doc_id")) == 1
+    d = f.select("doc_id", "n_tok", keep.alias("_keep")).where("_keep")
+    train = d.where(_tok.hash32(F.concat(F.lit("split:"), F.col("doc_id"))) % 100 < 90)
+    t = (
+        train.select("doc_id", "n_tok")
+        .withColumn("blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
+    totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn("boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))).select(
+        "blk", "boff"
+    )
+    c = local.join(F.broadcast(offs), "blk").withColumn("cum", F.col("lcum") + F.col("boff"))
+    start = F.col("cum") - F.col("n_tok")
+    return c.groupBy(F.floor(start / F.lit(float(PACK_BUDGET))).alias("bin_id")).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
