@@ -610,3 +610,55 @@ def x9_e2e_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("docs"),
         F.sum("n_tok").alias("bin_tokens"),
     )
+
+
+@register(
+    "x9_mixture_apply",
+    f"""
+    WITH t AS (
+        SELECT source, CAST(SUM(len({_tok.duck_tokens('text')})) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS all_toks, COUNT(*) AS n_src FROM t),
+    wts AS (
+        SELECT source,
+               LEAST(all_toks / CAST(n_src * toks AS DOUBLE), 1.0) AS keep_rate
+        FROM t, tot
+    )
+    SELECT d.source, COUNT(*) AS total,
+           COUNT(CASE WHEN {_tok.duck_hash32("concat('mix:', d.doc_id)")} % 1000000
+                           < CAST(keep_rate * 1000000 AS BIGINT) THEN 1 END) AS kept
+    FROM documents d JOIN wts w ON d.source = w.source
+    GROUP BY d.source
+    """,
+    doc=(
+        "Mixture weights APPLIED: the x9_mixture uniform-rebalance weight becomes a "
+        "per-source keep rate (capped at 1 — upsampling is epoch repetition, not row "
+        "duplication), enforced by a deterministic hash sampler so re-runs keep the "
+        "identical rows. Per-source kept/total census. At 100 TB: the weights table is "
+        "a broadcast of #sources rows; the sampler is a stateless row filter."
+    ),
+)
+def x9_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        _ntok_df(spark, sf_dir, ("source",))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    tot = t.agg(F.sum("toks").alias("all_toks"), F.count("*").alias("n_src"))
+    wts = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.col("all_toks") / (F.col("n_src") * F.col("toks")).cast("double"), F.lit(1.0)
+        ).alias("keep_rate"),
+    )
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "source")
+    in_keep = (
+        _tok.hash32(F.concat(F.lit("mix:"), F.col("doc_id"))) % 1000000
+        < (F.col("keep_rate") * 1000000).cast("bigint")
+    )
+    return (
+        docs.join(F.broadcast(wts), "source")
+        .groupBy("source")
+        .agg(F.count("*").alias("total"), F.count(F.when(in_keep, 1)).alias("kept"))
+    )

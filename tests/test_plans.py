@@ -174,3 +174,11 @@ def test_semantic_dedup_blocked_join(spark):
     plan = _plan(spark, "x1_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_subquery_runs_as_window(spark):
+    """q18: the per-customer average must come from a window over ONE exchange of
+    orders — the decorrelated join form scans and shuffles the table twice."""
+    plan = _plan(spark, "q18_correlated")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
