@@ -92,6 +92,27 @@ def x6_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x6_approx_quantiles",
+    None,  # sketch-based by design: GK summaries are engine-specific -> rows-only gate
+    doc=(
+        "approx quantiles (Greenwald-Khanna sketch, relative error 0.01): the 100 TB "
+        "path for percentiles - constant memory per partition, mergeable partials, no "
+        "global sort (q24 carries the exact sort-based oracle proof). The repo suite "
+        "asserts every estimate lands within the configured rank error of the exact "
+        "distribution (tests/test_queries.py)."
+    ),
+)
+def x6_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.table(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return li.agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("approx_q"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("exact_q"),
+        F.count("*").alias("n"),
+    )
+
+
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 _PIVOT_ORACLE_COLS = ",\n           ".join(
     f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES

@@ -74,3 +74,20 @@ def test_semantic_dedup_np_agrees_with_exact_variant(spark):
     exact = {(r.vec_id, r.cid, r.kept) for r in REGISTRY["x1_semantic_dedup"].builder(spark, SF).collect()}
     npv = {(r.vec_id, r.cid, r.kept) for r in REGISTRY["x1_semantic_dedup_np"].builder(spark, SF).collect()}
     assert exact == npv
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """x6_approx_quantiles (rows-only gate): each GK estimate must fall between the
+    exact quantiles at q±eps (rank-error guarantee for accuracy 10000 -> eps 1e-4,
+    checked against the loose eps=0.01 bracket)."""
+    row = REGISTRY["x6_approx_quantiles"].builder(spark, SF).collect()[0]
+    import numpy as np
+
+    vals = np.sort(np.array(
+        REGISTRY["q1_scan_filter"].builder(spark, SF).sparkSession.read.parquet(
+            f"{SF}/lineitem.parquet").select("l_extendedprice").toPandas()["l_extendedprice"]))
+    eps = 0.01
+    for q, est in zip([0.25, 0.5, 0.75, 0.95], row.approx_q):
+        lo = vals[max(0, int(np.floor((q - eps) * len(vals))) )]
+        hi = vals[min(len(vals) - 1, int(np.ceil((q + eps) * len(vals))))]
+        assert lo <= est <= hi, (q, est, lo, hi)
