@@ -197,6 +197,40 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q31_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 1 ELSE 0 END
+             + CASE WHEN GROUPING(o_orderpriority) = 1 THEN 2 ELSE 0 END AS gid,
+           COUNT(*) AS cnt, {duck_sum2('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc=(
+        "Explicit GROUPING SETS (the third multi-aggregate form beside ROLLUP/CUBE): "
+        "per-status, per-priority, and grand totals in ONE expand+aggregate pass, with "
+        "GROUPING() disambiguating genuine NULL keys from the subtotal rows - the SQL "
+        "surface a reporting workload expects. Same expand economics as q12/q25."
+    ),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS cnt,
+               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0
+                   AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "q26_window_funcs",
     """
     SELECT o_orderkey,
