@@ -70,3 +70,24 @@ def compact(
         "bytes": n_bytes,
         "rows": rows,
     }
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton/Z-order interleave of the low ``bits`` bits of two non-negative int
+    columns — the multi-column clustering key behind OPTIMIZE ZORDER: sorting by it
+    gives row groups bounded min/max spans in BOTH dimensions, so parquet stats prune
+    scans filtered on either column. Pure JVM bit arithmetic (shift/and/or), constant-
+    folded into one codegen'd expression; pass the result to
+    ``compact(sort_within_by=...)``-style sortWithinPartitions.
+    """
+    from pyspark.sql import Column, functions as F
+
+    a = F.col(c1) if isinstance(c1, str) else c1
+    b = F.col(c2) if isinstance(c2, str) else c2
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key.bitwiseOR(F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return key

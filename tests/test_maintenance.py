@@ -27,3 +27,37 @@ def test_compact_rewrites_fragmented_table(spark, tmp_path):
     # no leftover temp/old dirs
     parent = os.path.dirname(path)
     assert not [d for d in os.listdir(parent) if "_compact_" in d or "_old_" in d]
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """Sorting by the z-order key bounds per-partition spans in BOTH columns, where a
+    single-column sort leaves the other column's span at full range — the property
+    that makes parquet min/max stats prune filters on either dimension."""
+    from rubix_spark.ops.maintenance import zorder_key
+
+    n = 256
+    df = (
+        spark.range(n * n)
+        .select((F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+    )
+
+    def spans(sorted_df):
+        per = (
+            sorted_df.repartitionByRange(16, "k")
+            .select("x", "y", F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        import statistics
+        return statistics.mean(r.sx for r in per), statistics.mean(r.sy for r in per)
+
+    zx, zy = spans(df.withColumn("k", zorder_key("x", "y", bits=8)))
+    lx, ly = spans(df.withColumn("k", F.col("x").cast("long")))
+    # z-order: both dims bounded well under the full 255 span
+    assert zx < 160 and zy < 160, (zx, zy)
+    # lexicographic by x: x clusters tightly but y stays at (nearly) full span
+    assert ly > 200, (lx, ly)
