@@ -82,3 +82,39 @@ def test_scd2_apply(spark):
     assert rows[(1, "v1")] == (False, True)   # old version closed
     assert rows[(1, "v2")] == (True, False)   # new version open
     assert rows[(2, "v1")] == (True, False)   # untouched key unchanged
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The OTHER skew tool SCALE.md names beside salting: AQE's runtime skew-join
+    split. With thresholds lowered to test scale, a hot-key sort-merge join must show
+    skew-split partitions in the final adaptive plan."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        small = spark.range(1000).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+        joined = big.join(small, "k")
+        # execute THIS DataFrame's own QueryExecution (count() would build a new one
+        # and the un-executed plan prints isFinalPlan=false without the skew marks)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
