@@ -7,10 +7,19 @@ sinks, incremental upserts, and per-partition writers all produce it. ``compact`
 rewrites a parquet table directory into part files sized for scan parallelism — the
 OPTIMIZE/rewrite_data_files job of the lakehouse formats, on plain parquet.
 
-Scale shape: one distributed read + one distributed write; the only coordination is
-choosing the output file count from the input bytes (driver-side arithmetic on file
-metadata, no data through the driver). Atomicity: written to a temp dir, then swapped
-in with two renames — readers see old or new, never a mix.
+Scale shape: ONE distributed read + one distributed write; the row count comes from
+the new files' parquet footers (free), never a second scan, and the only coordination
+is choosing the output file count from input bytes (driver-side arithmetic on file
+metadata, no data through the driver).
+
+Swap semantics (honest statement): the new data is written to a temp dir and swapped
+in with two renames. Each rename is atomic, but the pair is not — a reader that lists
+the path in the instant between them sees a missing directory, and a crash between
+them leaves the table recoverable under the ``._old_`` name. Single-writer,
+no-concurrent-reader maintenance windows (how OPTIMIZE jobs are scheduled) are the
+intended deployment; for always-on readers, the cache layer's generation-CAS manifest
+(``cache/manifest.py``) is the tool — it keeps the previous generation alive under a
+grace period.
 """
 
 from __future__ import annotations
@@ -19,7 +28,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
 
 
 def table_bytes(path: str) -> int:
@@ -36,39 +45,62 @@ def parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in parquet_files(path))
+
+
+def _invalidate_memo(spark: SparkSession, path: str) -> None:
+    """Evict catalog.table's memoized DataFrame for the swapped path (its cached file
+    index points at the deleted part files) and refresh Spark's own path caches."""
+    memo = getattr(spark, "_rubix_table_memo", None)
+    if memo:
+        norm = path.rstrip("/")
+        sf_dir, base = os.path.split(norm)
+        name = base[:-8] if base.endswith(".parquet") else base
+        memo.pop((sf_dir.rstrip("/"), name), None)
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass  # path not referenced by any cached relation yet
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 128,
-    sort_within_by: str | None = None,
+    sort_within_by: str | Column | None = None,
 ) -> dict:
     """Rewrite the parquet table at ``path`` into ceil(bytes / target) part files.
 
-    ``sort_within_by``: optional column to sortWithinPartitions on — clusters row
-    groups for predicate pushdown (the min/max-stats locality an OPTIMIZE ZORDER
-    approximates on one column).
+    ``sort_within_by``: optional column name OR expression (e.g. ``zorder_key(...)``)
+    to sortWithinPartitions on — clusters row groups for predicate pushdown.
 
     Returns {files_before, files_after, bytes, rows}.
     """
     before = parquet_files(path)
     n_bytes = table_bytes(path)
     n_out = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    rows = df.count()
-    out = df.repartition(n_out)
-    if sort_within_by:
+    out = spark.read.parquet(path).repartition(n_out)
+    if sort_within_by is not None:
         out = out.sortWithinPartitions(sort_within_by)
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    _invalidate_memo(spark, path)
     return {
         "files_before": len(before),
         "files_after": len(parquet_files(path)),
         "bytes": n_bytes,
-        "rows": rows,
+        "rows": _footer_rows(path),
     }
 
 
@@ -78,9 +110,9 @@ def zorder_key(c1, c2, bits: int = 16):
     gives row groups bounded min/max spans in BOTH dimensions, so parquet stats prune
     scans filtered on either column. Pure JVM bit arithmetic (shift/and/or), constant-
     folded into one codegen'd expression; pass the result to
-    ``compact(sort_within_by=...)``-style sortWithinPartitions.
+    ``compact(sort_within_by=...)``.
     """
-    from pyspark.sql import Column, functions as F
+    from pyspark.sql import functions as F
 
     a = F.col(c1) if isinstance(c1, str) else c1
     b = F.col(c2) if isinstance(c2, str) else c2

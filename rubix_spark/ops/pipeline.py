@@ -423,6 +423,30 @@ def _ntok_df(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] = ()) -> Da
     return docs.mapInPandas(counts, f"{schema}, n_tok int")
 
 
+
+def _two_level_prefix_bins(t):
+    """Shared pack core: (doc_id, n_tok, blk) -> + bin_id via the two-level
+    distributed prefix sum (block-local cumsum + broadcast block offsets; the
+    integer telescoping is bit-identical to a single global window — see x9_pack).
+    ``t`` must already be checkpointed: both the cumsum and totals sides consume it
+    (invariant 3)."""
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
+    totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn("boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))).select(
+        "blk", "boff"
+    )
+    c = local.join(F.broadcast(offs), "blk").withColumn("cum", F.col("lcum") + F.col("boff"))
+    start = F.col("cum") - F.col("n_tok")
+    return c.withColumn("bin_id", F.floor(start / F.lit(float(PACK_BUDGET))))
+
+
 @register(
     "x9_pack",
     f"""
@@ -452,8 +476,6 @@ def x9_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id range) + a tiny per-block offset table (one row per ~256 docs, cumsum'd in
     a single cheap window over #blocks rows, broadcast back). Integer telescoping makes
     the two-level sum bit-identical to the oracle's single window."""
-    from pyspark.sql import Window
-
     # checkpoint the narrow (doc_id, n_tok, blk) table: both the block-local cumsum and
     # the block-totals side consume it, and without the checkpoint each re-runs the
     # Arrow token-count kernel over the full corpus (invariant 3 — at 100 TB you'd
@@ -463,19 +485,7 @@ def x9_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint"))
         .localCheckpoint(eager=True)
     )
-    w_in = (
-        Window.partitionBy("blk").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
-    totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.withColumn("boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))).select(
-        "blk", "boff"
-    )
-    c = local.join(F.broadcast(offs), "blk").withColumn("cum", F.col("lcum") + F.col("boff"))
-    start = F.col("cum") - F.col("n_tok")
-    return c.groupBy(F.floor(start / F.lit(float(PACK_BUDGET))).alias("bin_id")).agg(
+    return _two_level_prefix_bins(t).groupBy("bin_id").agg(
         F.count("*").alias("docs"),
         F.sum("n_tok").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -594,19 +604,7 @@ def x9_e2e_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint"))
         .localCheckpoint(eager=True)
     )
-    w_in = (
-        Window.partitionBy("blk").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
-    totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.withColumn("boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))).select(
-        "blk", "boff"
-    )
-    c = local.join(F.broadcast(offs), "blk").withColumn("cum", F.col("lcum") + F.col("boff"))
-    start = F.col("cum") - F.col("n_tok")
-    return c.groupBy(F.floor(start / F.lit(float(PACK_BUDGET))).alias("bin_id")).agg(
+    return _two_level_prefix_bins(t).groupBy("bin_id").agg(
         F.count("*").alias("docs"),
         F.sum("n_tok").alias("bin_tokens"),
     )
@@ -627,7 +625,7 @@ def x9_e2e_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.source, COUNT(*) AS total,
            COUNT(CASE WHEN {_tok.duck_hash32("concat('mix:', d.doc_id)")} % 1000000
-                           < CAST(keep_rate * 1000000 AS BIGINT) THEN 1 END) AS kept
+                           < CAST(FLOOR(keep_rate * 1000000) AS BIGINT) THEN 1 END) AS kept
     FROM documents d JOIN wts w ON d.source = w.source
     GROUP BY d.source
     """,

@@ -96,7 +96,7 @@ def x6_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_approx_quantiles",
     None,  # sketch-based by design: GK summaries are engine-specific -> rows-only gate
     doc=(
-        "approx quantiles (Greenwald-Khanna sketch, relative error 0.01): the 100 TB "
+        "approx quantiles (Greenwald-Khanna sketch): the 100 TB "
         "path for percentiles - constant memory per partition, mergeable partials, no "
         "global sort (q24 carries the exact sort-based oracle proof). The repo suite "
         "asserts every estimate lands within the configured rank error of the exact "
@@ -106,9 +106,12 @@ def x6_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x6_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.table(spark, sf_dir, "lineitem")
     qs = [0.25, 0.5, 0.75, 0.95]
+    # no exact percentile alongside: Spark's exact Percentile buffers the full value
+    # histogram per partition (the opposite of this op's constant-memory point), and
+    # q24 already carries the exact sort-based proof — the repo test recomputes the
+    # exact distribution itself to bound the sketch error
     return li.agg(
         F.percentile_approx("l_extendedprice", qs, 10000).alias("approx_q"),
-        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("exact_q"),
         F.count("*").alias("n"),
     )
 

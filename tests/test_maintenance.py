@@ -18,7 +18,10 @@ def test_compact_rewrites_fragmented_table(spark, tmp_path):
     assert len(parquet_files(path)) == 40
 
     before = {(r.id, r.k, r.v) for r in spark.read.parquet(path).collect()}
-    stats = compact(spark, path, target_file_mb=16, sort_within_by="id")
+    from rubix_spark.ops.maintenance import zorder_key
+
+    # sort_within_by accepts an EXPRESSION — the documented zorder composition
+    stats = compact(spark, path, target_file_mb=16, sort_within_by=zorder_key("id", "k", bits=8))
     assert stats["files_before"] == 40 and stats["files_after"] < 40
     assert stats["rows"] == 100_000
     # identical content after the swap
@@ -61,3 +64,17 @@ def test_zorder_clusters_both_dimensions(spark):
     assert zx < 160 and zy < 160, (zx, zy)
     # lexicographic by x: x clusters tightly but y stays at (nearly) full span
     assert ly > 200, (lx, ly)
+
+
+def test_compact_invalidates_table_memo(spark, tmp_path):
+    """catalog.table memoizes the lazy DataFrame incl. its file index; compacting the
+    path must evict it or later reads hit deleted part files."""
+    from rubix_spark import catalog
+
+    sf_dir = str(tmp_path)
+    path = sf_dir + "/orders.parquet"
+    spark.range(10_000).selectExpr("id", "id % 5 AS k").repartition(20).write.parquet(path)
+    n1 = catalog.table(spark, sf_dir, "orders").count()
+    compact(spark, path, target_file_mb=64)
+    n2 = catalog.table(spark, sf_dir, "orders").count()  # would throw on a stale index
+    assert n1 == n2 == 10_000
