@@ -383,17 +383,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm + transform pipeline once per side, and projection collapse would re-inline
     # the interpreted transform into downstream element accesses (invariant: measured
     # 4.4 s -> 1.9 s at sf0.1)
-    # repartition by the block key before the checkpoint: the join's pairwise fold is
-    # the dominant cost and otherwise runs at the checkpoint's inherited scan
-    # parallelism (measured 2.5 -> 1.2 s at sf0.1 — same fix as x1_semantic_dedup)
-    e = (
-        n.select(
-            "vec_id", "label",
-            F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("ne"),
-        )
-        .repartition(32, "label")
-        .localCheckpoint(eager=True)
-    )
+    # parallelism note: see x1_semantic_dedup — pre-repartitioning by the block key
+    # helps only the degenerate single-file small-SF case and is 1.7× slower at sf1,
+    # so the block-key exchange stays with the join
+    e = n.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("ne"),
+    ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
     scored = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -595,18 +591,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cid", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    # repartition by cid BEFORE the checkpoint: the pairwise fold is the dominant CPU
-    # cost and the join's parallelism is otherwise capped by the checkpoint's inherited
-    # scan partitioning (measured 2.3 -> 1.4 s at sf0.1); 2× the cluster count keeps
-    # hash collisions from stacking two big clusters on one task
-    e = (
-        n.select(
-            "vec_id", "cid",
-            F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("ne"),
-        )
-        .repartition(2 * len(cents), "cid")
-        .localCheckpoint(eager=True)
-    )
+    # NOTE on parallelism: pre-repartitioning this checkpoint by cid was measured 1.6×
+    # faster at sf0.1 (spreads the single-file scan's 1-2 partitions) but 1.7× SLOWER
+    # at sf1 (62 vs 37 s — the join-time exchange it removes is where AQE balances the
+    # block-key distribution). The exchange stays with the join; the fold variant is
+    # the oracle proof and the BLAS twin is the scale path regardless.
+    e = n.select(
+        "vec_id", "cid",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("ne"),
+    ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
     scored = (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
