@@ -1,6 +1,6 @@
-"""X1 — deduplication operators over the ``documents`` table.
+"""X1 — deduplication operators over the ``documents`` / ``embeddings`` tables.
 
-Five flavors, each a registered query with a DuckDB oracle:
+Seven flavors, each a registered query (DuckDB oracle unless noted):
 
 - exact (hash-groupBy on full text)
 - keep-first exact dedup (min doc_id per text group)
@@ -9,6 +9,8 @@ Five flavors, each a registered query with a DuckDB oracle:
   hamming ≤ 3 verify)
 - n-gram Jaccard (shingle inverted index join, document-frequency cap to bound fanout)
 - embedding cosine near-dup (blocked self-join; exact cosine verify within blocks)
+- SemDeDup-style semantic dedup (IVF-codebook clusters, within-cluster prune; + BLAS twin)
+- near-dup clustering: connected components over the LSH candidate graph
 
 Scale design (100 TB posture):
 - all candidate generation is *join-on-key* (band key / shingle / block id) — never an
