@@ -129,6 +129,32 @@ def _duck_band_structs() -> str:
     return "[" + ", ".join(items) + "]"
 
 
+def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) MinHash band table, eagerly checkpointed — the joins
+    over it (self-join in x1_minhash_lsh, batch-vs-corpus in x1_incremental_neardup)
+    would otherwise recompute the tokenize→shingle→minhash pipeline once per side;
+    bands is tiny (docs × N_BANDS rows; ContextCleaner frees the blocks)."""
+    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
+    sig = dh.groupBy("doc_id").agg(
+        *[F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(f"s{i}") for i in range(N_HASHES)]
+    )
+    rpb = N_HASHES // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(f"s{b * rpb + j}") for j in range(rpb)]).alias("k"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.explode(band_structs).alias("u"))
+        .select("doc_id", F.col("u.band").alias("band"), F.col("u.k").alias("band_key"))
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "x1_minhash_lsh",
     f"""
@@ -154,28 +180,7 @@ def _duck_band_structs() -> str:
     ),
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
-    sig = dh.groupBy("doc_id").agg(
-        *[F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(f"s{i}") for i in range(N_HASHES)]
-    )
-    rpb = N_HASHES // N_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[F.col(f"s{b * rpb + j}") for j in range(rpb)]).alias("k"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    # self-join below would otherwise recompute the tokenize→shingle→minhash pipeline
-    # once per side; bands is tiny (docs × N_BANDS rows) — checkpoint it once (same
-    # rationale as ngram_jaccard's dh; ContextCleaner frees the blocks)
-    bands = (
-        sig.select("doc_id", F.explode(band_structs).alias("u"))
-        .select("doc_id", F.col("u.band").alias("band"), F.col("u.k").alias("band_key"))
-        .localCheckpoint(eager=True)
-    )
+    bands = _band_table(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -658,4 +663,53 @@ def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _sim._ivf_assign(emb, cents)
     return assign.groupBy("cid").applyInPandas(
         _sem_block, schema="vec_id bigint, cid bigint, kept int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: dedup a NEW batch against the frozen corpus index
+# ---------------------------------------------------------------------------
+INCR_SPLIT = 400  # doc_id < INCR_SPLIT = "corpus", >= = "new batch" (fixture split)
+
+
+@register(
+    "x1_incremental_neardup",
+    f"""
+    WITH ds AS ({_DUCK_DOC_SHINGLES}),
+    dh AS (SELECT DISTINCT doc_id, {_tok.duck_hash32('sh')} AS h FROM ds),
+    sig AS (
+        SELECT doc_id,
+               {_duck_sig_cols()}
+        FROM dh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, u['band'] AS band, u['k'] AS band_key
+        FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS u FROM sig)
+    )
+    SELECT n.doc_id AS new_doc, MIN(c.doc_id) AS dup_of
+    FROM bands n JOIN bands c ON n.band = c.band AND n.band_key = c.band_key
+    WHERE n.doc_id >= {INCR_SPLIT} AND c.doc_id < {INCR_SPLIT}
+    GROUP BY n.doc_id
+    """,
+    doc=(
+        "Incremental near-dup: MinHash band keys of an arriving batch joined against "
+        "the FROZEN corpus band index — how a daily crawl dedups against petabytes "
+        "already ingested without re-pairing the corpus with itself. At 100 TB the "
+        "corpus bands are a persisted table bucketed by band_key, so the daily join "
+        "shuffles only the batch; here both sides come from one checkpointed band "
+        "table split on doc_id. Emits each duplicate batch doc with its earliest "
+        "corpus match."
+    ),
+)
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _band_table(spark, sf_dir)
+    new = bands.where(F.col("doc_id") >= INCR_SPLIT)
+    corpus = bands.where(F.col("doc_id") < INCR_SPLIT).select(
+        F.col("doc_id").alias("c_doc"), F.col("band").alias("c_band"),
+        F.col("band_key").alias("c_key"),
+    )
+    return (
+        new.join(corpus, (F.col("band") == F.col("c_band")) & (F.col("band_key") == F.col("c_key")))
+        .groupBy(F.col("doc_id").alias("new_doc"))
+        .agg(F.min("c_doc").alias("dup_of"))
     )
