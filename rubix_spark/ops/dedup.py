@@ -133,7 +133,23 @@ def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) MinHash band table, eagerly checkpointed — the joins
     over it (self-join in x1_minhash_lsh, batch-vs-corpus in x1_incremental_neardup)
     would otherwise recompute the tokenize→shingle→minhash pipeline once per side;
-    bands is tiny (docs × N_BANDS rows; ContextCleaner frees the blocks)."""
+    bands is tiny (docs × N_BANDS rows; ContextCleaner frees the blocks).
+
+    Memoized per (session, sf_dir) like catalog.table: x1_minhash_lsh,
+    x1_dedup_components and x1_incremental_neardup each consume it within one
+    session — tokenize+checkpoint is paid once, not per caller."""
+    memo = getattr(spark, "_rubix_band_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_band_memo = memo
+    key = sf_dir.rstrip("/")
+    if key in memo:
+        return memo[key]
+    memo[key] = _band_table_build(spark, sf_dir)
+    return memo[key]
+
+
+def _band_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
     sig = dh.groupBy("doc_id").agg(
         *[F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(f"s{i}") for i in range(N_HASHES)]

@@ -93,8 +93,18 @@ def compact(
         raise
     old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll the original back so the table never vanishes
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        shutil.rmtree(old)
+    except OSError as e:  # non-fatal: table is live; backup just lingers
+        import warnings
+
+        warnings.warn(f"compact(): backup {old} not removed ({e}); delete manually")
     _invalidate_memo(spark, path)
     return {
         "files_before": len(before),
@@ -111,6 +121,11 @@ def zorder_key(c1, c2, bits: int = 16):
     scans filtered on either column. Pure JVM bit arithmetic (shift/and/or), constant-
     folded into one codegen'd expression; pass the result to
     ``compact(sort_within_by=...)``.
+
+    RANGE CONTRACT: bits above ``bits`` are DROPPED — values differing only in high
+    bits collide into the same key (e.g. bits=8 aliases every 256), silently degrading
+    clustering. Size ``bits`` >= ceil(log2(max value)), or pre-bucket wide/unbounded
+    columns first (rank, ntile, quantile bucket) so the domain fits ``bits`` bits.
     """
     from pyspark.sql import functions as F
 

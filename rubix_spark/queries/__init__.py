@@ -84,6 +84,7 @@ def load_all() -> dict[str, Query]:
     registry, priority-ordered (see ``PRIORITY``)."""
     import rubix_spark.queries.relational  # noqa: F401
     import rubix_spark.queries.extended  # noqa: F401
+    import rubix_spark.queries.bucketed  # noqa: F401
     import rubix_spark.ops.dedup  # noqa: F401
     import rubix_spark.ops.similarity  # noqa: F401
     import rubix_spark.ops.text  # noqa: F401

@@ -1,0 +1,114 @@
+"""Bucketed-layout twins of the fact-join queries (q4/q9/q30) — the warehouse story.
+
+Round-4 verdict: the one scale-killer left in the relational family is a PER-RUN fact
+exchange (lineitem⋈orders on orderkey; orders groupBy custkey) that a warehouse layout
+eliminates. The reference's headline perf query runs against a table its warehouse
+already partitioned (``perf/query_tpcds.sql:31`` filters the partition key
+``ss_sold_date_sk``); the Spark analog is a bucketed table: pay one repartition at
+ingest (``sources/bucketing.bucketed_table``, persisted + fingerprint-guarded), then
+every run reads co-located, pre-sorted buckets — fact-fact SMJ with ZERO Exchange and
+ZERO Sort (pinned by tests/test_shuffle_ops.py).
+
+Each twin registers with the ORIGINAL query's oracle: same answer, different layout.
+At 100 TB this is the difference between re-shuffling the fact table every run and
+reading it in place — the bucket count scales to cluster shuffle granularity
+(thousands); locally it is the core count so one task reads one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rubix_spark import catalog
+from rubix_spark.fns import dec, dec_det, money
+from rubix_spark.queries import REGISTRY, register
+import rubix_spark.queries.relational  # noqa: F401  (source of the oracles)
+import rubix_spark.queries.extended  # noqa: F401
+from rubix_spark.sources.bucketing import bucketed_table
+
+
+@register(
+    "q4_star_join_bucketed",
+    REGISTRY["q4_star_join"].oracle,
+    doc=(
+        "q4_star_join over the bucketed warehouse layout: lineitem and orders stored "
+        "bucketed+sorted by orderkey, so the fact-fact join is a zero-Exchange, "
+        "zero-Sort SMJ (dimensions broadcast as in q4). Same oracle as q4_star_join."
+    ),
+)
+def q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    t = catalog.load(spark, sf_dir, ("customer", "supplier", "nation", "region"))
+    region = t["region"].where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
+    )
+
+
+@register(
+    "q9_cte_self_join_bucketed",
+    REGISTRY["q9_cte_self_join"].oracle,
+    doc=(
+        "q9's lag-window form over orders bucketed by o_custkey: the groupBy "
+        "(o_custkey, d) and the window partitionBy o_custkey are BOTH satisfied by the "
+        "bucket partitioning — the whole query plans with zero Exchange. Same oracle "
+        "as q9_cte_self_join."
+    ),
+)
+def q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    s = (
+        orders.groupBy("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .agg(money(F.sum(dec("o_totalprice")), "t"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    return (
+        s.select(
+            "o_custkey", "d", "t",
+            F.lag("t").over(w).alias("prev_t"),
+            F.lag("d").over(w).alias("_prev_d"),
+        )
+        .where(F.col("_prev_d") == F.date_sub(F.col("d"), 1))
+        .drop("_prev_d")
+    )
+
+
+@register(
+    "q30_yoy_delta_bucketed",
+    REGISTRY["q30_yoy_delta"].oracle,
+    doc=(
+        "q30 over the bucketed layout. The oracle's UNION ALL of complementary "
+        "returnflag scans IS the full lineitem table; unioning two bucketed scans "
+        "would erase the bucket partitioning (UnionExec outputs UnknownPartitioning), "
+        "so the bucketed form reads lineitem directly — semantically identical — and "
+        "the orderkey join to orders is exchange-free. Same oracle as q30_yoy_delta."
+    ),
+)
+def q30_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    part = catalog.table(spark, sf_dir, "part")
+    y = (
+        li.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("tot"))
+    )
+    w = Window.partitionBy("brand").orderBy("yr")
+    d = y.select("brand", "yr", "tot", F.lag("tot").over(w).alias("prev"))
+    return d.where(F.col("prev").isNotNull() & (F.col("tot") < F.col("prev"))).select(
+        "brand", "yr",
+        money(F.col("prev"), "prev_qty"),
+        money(F.col("tot"), "cur_qty"),
+        money(F.col("tot") - F.col("prev"), "delta"),
+    )

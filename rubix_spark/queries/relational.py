@@ -555,7 +555,10 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey")
     avg_t = F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)
     return (
-        orders.select("o_orderkey", "o_totalprice", avg_t.alias("avg_t"))
+        # equality correlation in the oracle drops NULL custkeys; the window form
+        # would average (and emit) the NULL partition — pin the semantics explicitly
+        orders.where(F.col("o_custkey").isNotNull())
+        .select("o_orderkey", "o_totalprice", avg_t.alias("avg_t"))
         .where(F.col("o_totalprice") > F.col("avg_t"))
         .select("o_orderkey", "o_totalprice")
     )
