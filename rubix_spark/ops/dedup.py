@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from rubix_spark import catalog
 from rubix_spark.fns import round_det
 from rubix_spark.ops import _tok
-from rubix_spark.queries import register
+from rubix_spark.queries import REGISTRY, register
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -726,6 +726,57 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         new.join(corpus, (F.col("band") == F.col("c_band")) & (F.col("band_key") == F.col("c_key")))
+        .groupBy(F.col("doc_id").alias("new_doc"))
+        .agg(F.min("c_doc").alias("dup_of"))
+    )
+
+
+def _corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITTEN corpus band index behind x1_incremental_neardup_persisted:
+    (c_doc, bk) rows for every corpus doc (doc_id < INCR_SPLIT), persisted ONCE as a
+    table bucketed by ``bk`` (``sources.bucketing.persisted_bucketed``; fingerprint
+    of documents.parquet guards staleness). ``bk = band || '|' || band_key`` folds the
+    two-column LSH key into one so the bucket key IS the join key — the daily batch
+    join plans with zero Exchange on the corpus side."""
+    from rubix_spark.sources.bucketing import persisted_bucketed
+
+    def build():
+        bands = _band_table(spark, sf_dir)
+        return bands.where(F.col("doc_id") < INCR_SPLIT).select(
+            F.col("doc_id").alias("c_doc"),
+            F.concat_ws("|", F.col("band"), F.col("band_key")).alias("bk"),
+        )
+
+    return persisted_bucketed(
+        spark,
+        label="corpus_bands",
+        source_path=f"{sf_dir.rstrip('/')}/documents.parquet",
+        build=build,
+        bucket_col="bk",
+    )
+
+
+@register(
+    "x1_incremental_neardup_persisted",
+    REGISTRY["x1_incremental_neardup"].oracle,
+    doc=(
+        "x1_incremental_neardup against a PERSISTED corpus band index — the form the "
+        "docstring above promises and a daily crawl actually runs: the corpus bands "
+        "are a written table bucketed by band key (ingest-time layout, amortized over "
+        "every batch), so the daily join shuffles ONLY the arriving batch; the corpus "
+        "side reads co-located buckets with no Exchange (pinned by "
+        "tests/test_shuffle_ops.py). Same oracle as x1_incremental_neardup."
+    ),
+)
+def incremental_neardup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_band_index(spark, sf_dir)
+    batch = (
+        _band_table(spark, sf_dir)
+        .where(F.col("doc_id") >= INCR_SPLIT)
+        .select("doc_id", F.concat_ws("|", F.col("band"), F.col("band_key")).alias("bk"))
+    )
+    return (
+        batch.join(corpus, "bk")
         .groupBy(F.col("doc_id").alias("new_doc"))
         .agg(F.min("c_doc").alias("dup_of"))
     )

@@ -86,21 +86,26 @@ def _source_fingerprint(src: str) -> list:
     return out
 
 
-def bucketed_table(
+def persisted_bucketed(
     spark: SparkSession,
-    sf_dir: str,
-    name: str,
+    label: str,
+    source_path: str,
+    build,
     bucket_col: str,
     n_buckets: int = 32,
     sort_col: str | None = None,
 ) -> DataFrame:
-    """Return fixture table ``name`` as a persistent BUCKETED catalog table.
+    """Materialize ``build() -> DataFrame`` ONCE as a persistent bucketed catalog table.
 
     First call per (warehouse, source generation) pays one repartition+write (ingest
     cost, amortized over every later run — one file per bucket, so sorted buckets also
     skip the join-time Sort); later calls, even from fresh sessions, only re-issue DDL
-    over the existing files. Joins/groupBys keyed on ``bucket_col`` between tables from
-    here plan with NO Exchange on the fact side (pinned by tests/test_shuffle_ops.py).
+    over the existing files. Joins/groupBys keyed on ``bucket_col`` against tables from
+    here plan with NO Exchange on this side (pinned by tests/test_shuffle_ops.py).
+
+    ``source_path``: the upstream parquet whose (name, size, mtime) fingerprint decides
+    staleness — the driver regenerates /root/testdata between rounds, and a stale
+    layout must rebuild, not serve. ``build`` is only invoked on a rebuild.
     """
     sort_col = sort_col or bucket_col
     # off by default since 3.0 because multi-file buckets must merge-read to honor the
@@ -112,17 +117,16 @@ def bucketed_table(
     if memo is None:
         memo = {}
         spark._rubix_bucketed_memo = memo
-    sf_key = sf_dir.rstrip("/")
-    mkey = (sf_key, name, bucket_col, n_buckets)
+    src_key = source_path.rstrip("/")
+    mkey = (src_key, label, bucket_col, n_buckets)
     if mkey in memo:
         return memo[mkey]
 
-    src = f"{sf_key}/{name}.parquet"
-    digest = hashlib.md5(sf_key.encode()).hexdigest()[:8]
-    data_dir = os.path.join(warehouse_root(), digest, f"{name}__{bucket_col}__{n_buckets}")
-    tbl = f"rxb_{name}_{bucket_col}_{digest}"
+    digest = hashlib.md5(src_key.encode()).hexdigest()[:8]
+    data_dir = os.path.join(warehouse_root(), digest, f"{label}__{bucket_col}__{n_buckets}")
+    tbl = f"rxb_{label}_{bucket_col}_{digest}"
     marker = os.path.join(data_dir, "_rubix_layout.json")
-    fp = _source_fingerprint(src)
+    fp = _source_fingerprint(src_key)
 
     meta = None
     if os.path.exists(marker):
@@ -144,14 +148,12 @@ def bucketed_table(
         # (re)build: source changed or first run. Repartition by the bucket key first so
         # each bucket is exactly ONE file (otherwise every write task emits a file per
         # bucket it sees, and multi-file buckets lose the sorted-scan guarantee).
-        from rubix_spark import catalog
+        from pyspark.sql import functions as F
 
-        df = catalog.table(spark, sf_dir, name)
+        df = build()
         schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(data_dir, ignore_errors=True)
-        from pyspark.sql import functions as F
-
         writer = (
             df.repartition(n_buckets, F.col(bucket_col))
             .write.mode("overwrite")
@@ -168,3 +170,25 @@ def bucketed_table(
     out = spark.table(tbl)
     memo[mkey] = out
     return out
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Fixture table ``name`` as a persistent bucketed layout (see persisted_bucketed)."""
+    from rubix_spark import catalog
+
+    return persisted_bucketed(
+        spark,
+        label=name,
+        source_path=f"{sf_dir.rstrip('/')}/{name}.parquet",
+        build=lambda: catalog.table(spark, sf_dir, name),
+        bucket_col=bucket_col,
+        n_buckets=n_buckets,
+        sort_col=sort_col,
+    )

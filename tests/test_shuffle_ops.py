@@ -71,6 +71,19 @@ def test_q30_bucketed_fact_join_is_exchange_free(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
 
 
+def test_incremental_neardup_corpus_side_has_no_exchange(spark):
+    """The daily-crawl promise: with the corpus band index persisted bucketed by the
+    band key, the batch-vs-corpus join shuffles ONLY the batch — exactly one
+    hash-partitioning Exchange feeds the join (the batch side; the corpus side reads
+    co-located buckets), and the corpus scan reads the persisted rxb_ table."""
+    plan = _pinned_smj_plan(spark, "x1_incremental_neardup_persisted")
+    join_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning(bk" in l
+    ]
+    assert len(join_exchanges) == 1, plan
+    assert "rxb_corpus_bands" in plan, plan
+
+
 def test_bucketed_table_rebuilds_on_source_change(tmp_path, spark):
     """The staleness guard: a layout built from one source generation must NOT serve
     after the source is rewritten (the driver regenerates testdata between rounds)."""
