@@ -65,6 +65,16 @@ def main() -> None:
     _consume(registry["q4_star_join"].builder(spark, sf_dir))
     _consume(registry["x4_udf_scalar"].builder(spark, sf_dir))
 
+    # ANALYZE TABLE pass (untimed setup — the nightly stats job a warehouse runs):
+    # registers the fixtures as catalog tables, computes row + column stats, turns the
+    # CBO on, and routes catalog.table() through the analyzed tables so every
+    # stats-sensitive plan benefits. SPARK_GRAFT_BENCH_ANALYZE=0 opts out (protocol
+    # A/B: BASELINE.md notes the measured movement).
+    if os.environ.get("SPARK_GRAFT_BENCH_ANALYZE", "1") != "0":
+        from rubix_spark import catalog as _catalog
+
+        _catalog.analyze(spark, sf_dir, route=True)
+
     # cold vs warm cache protocol (BASELINE.md §3) runs FIRST, in a clean JVM: measured
     # after the 80-query loop it absorbs multi-second GC pauses from the bloated heap
     # (warm read spiked 1.3s -> 13.8s on identical data). Clear the query-scoped cache,

@@ -68,7 +68,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is not None:
         return df
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    # after analyze() has registered + ANALYZEd this fixture dir, read through the
+    # catalog tables instead of the raw path: identical data, but the CBO sees the
+    # row/column statistics (path-based reads keep size-only estimation)
+    prefix = getattr(spark, "_rubix_analyzed_prefix", {}).get(sf_dir.rstrip("/"))
+    if prefix is not None:
+        df = spark.table(f"{prefix}{name}")
+    else:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
     memo[key] = df
@@ -116,7 +123,10 @@ _STATS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def analyze(spark: SparkSession, sf_dir: str, names: tuple = TABLES, prefix: str = "rx_") -> dict[str, dict]:
+def analyze(
+    spark: SparkSession, sf_dir: str, names: tuple = TABLES, prefix: str = "rx_",
+    route: bool = False,
+) -> dict[str, dict]:
     """Opt-in ANALYZE/CBO pass — the ``ANALYZE TABLE`` story a 100× scale-up wants.
 
     AQE fixes plans *during* execution; the cost-based optimizer fixes them *before* —
@@ -163,4 +173,19 @@ def analyze(spark: SparkSession, sf_dir: str, names: tuple = TABLES, prefix: str
         out[name] = {"rows": rows, "bytes": bytes_}
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    # opt-in (bench.py): route catalog.table() through the analyzed tables from now
+    # on so EVERY query sees the stats (and drop any path-based DataFrames already
+    # memoized for this dir so they re-resolve). Requires the full fixture set.
+    if route:
+        if set(TABLES) - set(names):
+            raise ValueError("route=True requires analyzing all fixture tables")
+        routed = getattr(spark, "_rubix_analyzed_prefix", None)
+        if routed is None:
+            routed = {}
+            spark._rubix_analyzed_prefix = routed
+        routed[sf_dir.rstrip("/")] = prefix
+        memo = getattr(spark, "_rubix_table_memo", None)
+        if memo:
+            for k in [k for k in memo if k[0] == sf_dir.rstrip("/")]:
+                del memo[k]
     return out

@@ -346,6 +346,36 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q28_tpch_q1_fast",
+    None,  # rows-only: double sums are order-dependent at the ulp level across engines
+    doc=(
+        "q28_tpch_q1 the way a production job would run it: plain DOUBLE sums and "
+        "avg(), no per-row decimal casts. Registered rows-only because double "
+        "summation order differs between engines/runs (invariant 2) — the repo gate "
+        "instead checks it against the exact twin at 1e-9 relative tolerance "
+        "(tests/test_queries.py::test_q28_fast_twin_matches_exact). Exists to "
+        "measure the oracle-exactness tax: the sf10 gap on q28 is the decimal "
+        "arithmetic required for cross-engine determinism, not engine debt."
+    ),
+)
+def q28_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).alias("sum_disc_price"),
+        F.sum(charge).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
     "x10_rollup_cascade",
     """
     WITH m AS (
