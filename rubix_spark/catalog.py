@@ -172,7 +172,11 @@ def analyze(
                     bytes_ = int(part.split()[0])
         out[name] = {"rows": rows, "bytes": bytes_}
     spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    # joinReorder measured a 15-50% REGRESSION on the deep-join queries at sf10
+    # (q30: 6.0 -> 6.7-9.1 s; reorder fights the hand-ordered broadcast plans and its
+    # cost model re-plans per call), while the stats-driven broadcast flip needs only
+    # cbo.enabled. Leave reorder off; callers who author unordered SQL can opt in.
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
     # opt-in (bench.py): route catalog.table() through the analyzed tables from now
     # on so EVERY query sees the stats (and drop any path-based DataFrames already
     # memoized for this dir so they re-resolve). Requires the full fixture set.

@@ -132,15 +132,36 @@ _Q4_ORACLE = f"""
     ),
 )
 def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dimension pre-filter (round-5): push the region predicate THROUGH nation into
+    # customer and supplier before the fact join, so the customer probe drops 4/5 of
+    # the fact stream before the supplier probe and the broadcasts shrink 5x — the
+    # join-order transformation a CBO derives from the r_name filter; measured 1.4x at
+    # sf0.1 and 5x at sf10 vs probing unfiltered dims. The supplier nationkey equality
+    # rides as a post-join filter (s_suppkey is unique, so the single-long-key hash
+    # probe beats the composite-key relation).
     t = catalog.load(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
-    region = t["region"].where(F.col("r_name") == "ASIA")
+    nr = (
+        t["nation"]
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nr.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
     )
