@@ -175,16 +175,27 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly that reason — it mirrors `perf/perf.go:37-70`, which drives the Presto CLI
 # with SQL text per run).  Same oracle as q4_star_join: both must hash-match it.
 _Q4_SPARK_SQL = """
-    SELECT /*+ BROADCAST(c, s, n, r) */ n_name,
+    WITH nr AS (
+        SELECT /*+ BROADCAST(r) */ n_nationkey, n_name
+        FROM nation n JOIN region r ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    ca AS (
+        SELECT /*+ BROADCAST(nr) */ c_custkey, c_nationkey
+        FROM customer c JOIN nr ON c_nationkey = nr.n_nationkey
+    ),
+    sa AS (
+        SELECT /*+ BROADCAST(nr) */ s_suppkey, s_nationkey, n_name
+        FROM supplier s JOIN nr ON s_nationkey = nr.n_nationkey
+    )
+    SELECT /*+ BROADCAST(ca, sa) */ n_name,
            FLOOR(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D) / 10000.0D
                                AS DECIMAL(18,4))) AS DOUBLE) * 100.0D + 0.5D) / 100.0D AS revenue
     FROM lineitem l
-    JOIN orders o   ON l_orderkey = o_orderkey
-    JOIN customer c ON c_custkey = o_custkey
-    JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation n   ON s_nationkey = n_nationkey
-    JOIN region r   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
+    JOIN orders o ON l_orderkey = o_orderkey
+    JOIN ca       ON c_custkey = o_custkey
+    JOIN sa       ON l_suppkey = sa.s_suppkey
+    WHERE ca.c_nationkey = sa.s_nationkey
     GROUP BY n_name
     """
 
