@@ -425,13 +425,28 @@ def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(
         spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
     )
-    region = t["region"].where(F.col("r_name").isin("ASIA", "EUROPE", "AMERICA"))
+    # dimension pre-filter (invariant 19): region IN (...) reaches customer through
+    # nation BEFORE the fact join, so the filtered (custkey, nation) map broadcasts
+    # and BOTH custkey exchanges (join + re-shuffled customer) disappear; the only
+    # wide exchange left below the CTE is the orderkey fact join + the much smaller
+    # partial-aggregate shuffle. Forced broadcast is the right call while the
+    # filtered customer map fits executors (~16 B/customer); at the SF where it no
+    # longer does, drop the hint and the planner reverts to the shuffle join.
+    nr = (
+        t["nation"]
+        .join(F.broadcast(t["region"].where(F.col("r_name").isin("ASIA", "EUROPE", "AMERICA"))),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("c_custkey"), F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
         .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "rev"))
@@ -479,11 +494,12 @@ def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "consecutive years to find growing customers, joined to a second CTE "
         "(nation×year rollup OF the first CTE), ranked per nation-year by growth with a "
         "window on top. The CTE is eagerly localCheckpoint'ed, so the expensive 6-way "
-        "join runs ONCE and all three consumers (both self-join sides + the rollup) "
-        "read the materialized result — the reuse discipline a 100 TB query64 needs "
-        "(recomputing the CTE per consumer would triple the dominant cost). Dimension "
-        "joins broadcast; the two fact-side shuffles (orderkey, custkey) are the only "
-        "wide exchanges below the CTE."
+        "join runs ONCE and every consumer reads the materialized result — the reuse "
+        "discipline a 100 TB query64 needs. Round-5 plan: the consecutive-year "
+        "self-join is a lead() window over the checkpoint (the q9 lesson — one "
+        "exchange instead of two join sides), nation_year (~nations×years rows) "
+        "broadcasts, and the CTE pre-filters customer through region so the custkey "
+        "exchanges vanish — the orderkey fact join is the only wide shuffle left."
     ),
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,25 +509,23 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ContextCleaner reclaim (never persist() in a builder — CLAUDE.md invariant 9)
     cust_sales = _q29_cust_sales(spark, sf_dir).localCheckpoint()
     nation_year = cust_sales.groupBy("nation", "yr").agg(money(F.sum(dec("rev")), "nation_rev"))
-    y1, y2 = cust_sales.alias("y1"), cust_sales.alias("y2")
-    ny = nation_year.alias("ny")
+    # consecutive-year self-join = lead() window (the q9 lesson, applied to the CTE):
+    # (custkey, nation) is unique per yr after the grouping, so "this customer's next
+    # year" is lead over (custkey, nation ORDER BY yr) gated on yr+1 — one exchange of
+    # the checkpointed CTE instead of two join sides. nation_year is nations x years
+    # (~175 rows) — broadcast, not a third shuffle.
+    w0 = Window.partitionBy("c_custkey", "nation").orderBy("yr")
     joined = (
-        y1.join(
-            y2,
-            (F.col("y1.c_custkey") == F.col("y2.c_custkey"))
-            & (F.col("y1.nation") == F.col("y2.nation"))
-            & (F.col("y2.yr") == F.col("y1.yr") + 1),
+        cust_sales.select(
+            "nation", "c_custkey",
+            F.col("yr").alias("yr1"),
+            F.col("rev").alias("rev1"),
+            F.lead("rev").over(w0).alias("rev2"),
+            F.lead("yr").over(w0).alias("_yr2"),
         )
-        .join(ny, (F.col("ny.nation") == F.col("y1.nation")) & (F.col("ny.yr") == F.col("y1.yr")))
-        .where(F.col("y2.rev") > F.col("y1.rev"))
-        .select(
-            F.col("y1.nation").alias("nation"),
-            F.col("y1.c_custkey").alias("c_custkey"),
-            F.col("y1.yr").alias("yr1"),
-            F.col("y1.rev").alias("rev1"),
-            F.col("y2.rev").alias("rev2"),
-            F.col("ny.nation_rev").alias("nation_rev"),
-        )
+        .where((F.col("_yr2") == F.col("yr1") + 1) & (F.col("rev2") > F.col("rev1")))
+        .join(F.broadcast(nation_year.withColumnRenamed("yr", "yr1")), ["nation", "yr1"])
+        .select("nation", "c_custkey", "yr1", "rev1", "rev2", "nation_rev")
     )
     w = Window.partitionBy("nation", "yr1").orderBy(
         (F.col("rev2") - F.col("rev1")).desc(), F.col("c_custkey")
