@@ -96,3 +96,21 @@ def test_bruteforce_np_matches_hof_exact(spark):
         assert [v for v, _ in hof] == [v for v, _ in blas]
         for (_, a), (_, b) in zip(hof, blas):
             assert abs(a - b) <= 1e-4, (a, b)  # rounded to 4 places; ulp drift only
+
+
+def test_ivfpq_recall_on_clustered(spark, clustered_dir):
+    """IVF-PQ (coarse probe -> ADC lookup scoring -> exact re-rank) must recall >=0.8
+    of the exact top-10 where cluster structure exists — the 32x-compression path
+    can't be cheaper than the recall it ships."""
+    r = _recall_at_10(spark, "x2_ann_ivfpq", clustered_dir)
+    assert r >= 0.8, f"IVF-PQ recall@10 = {r}"
+
+
+def test_ivfpq_is_deterministic(spark, clustered_dir):
+    """Training (index-strided init, fixed Lloyd rounds, ties to lower code) and
+    scoring must reproduce exactly: same fixture -> identical result rows."""
+    d, _ = clustered_dir
+    a = [(r.vec_id, r.sim) for r in REG["x2_ann_ivfpq"].builder(spark, d).collect()]
+    spark._rubix_pq_memo = {}  # drop the memo so training itself re-runs
+    b = [(r.vec_id, r.sim) for r in REG["x2_ann_ivfpq"].builder(spark, d).collect()]
+    assert a == b and len(a) == 10
