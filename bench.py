@@ -68,9 +68,13 @@ def main() -> None:
     # ANALYZE TABLE pass (untimed setup — the nightly stats job a warehouse runs):
     # registers the fixtures as catalog tables, computes row + column stats, turns the
     # CBO on, and routes catalog.table() through the analyzed tables so every
-    # stats-sensitive plan benefits. SPARK_GRAFT_BENCH_ANALYZE=0 opts out (protocol
-    # A/B: BASELINE.md notes the measured movement).
-    if os.environ.get("SPARK_GRAFT_BENCH_ANALYZE", "1") != "0":
+    # stats-sensitive plan benefits. Gated by input size like AQE: stats estimation
+    # adds ~30 ms of plan time per query, which buys better join plans at scale but
+    # only dilutes sub-100 ms toy-scale rows (measured: q19 0.53->0.33 s at sf0.1
+    # isolated, yet +20-50 ms flat on every tiny row). SPARK_GRAFT_BENCH_ANALYZE=0/1
+    # overrides the size default either way.
+    analyze_default = "0" if small_input else "1"
+    if os.environ.get("SPARK_GRAFT_BENCH_ANALYZE", analyze_default) != "0":
         from rubix_spark import catalog as _catalog
 
         _catalog.analyze(spark, sf_dir, route=True)

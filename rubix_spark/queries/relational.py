@@ -237,6 +237,25 @@ def q4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir, ("supplier", "customer"))
+    # size-adaptive (the CBO call): under ~64 MB of input the pair space is small and
+    # the broadcast theta-join's single stage beats the decomposition's four (0.13 vs
+    # 0.39 s at sf0.1); above it the pair space grows as the PRODUCT of the inputs and
+    # only the decomposition stays linear (0.64 vs 246 s at sf10).
+    import os
+
+    def _sz(name):
+        p = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        if os.path.isdir(p):
+            return sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(p) for f in fs)
+        return os.path.getsize(p) if os.path.exists(p) else 0
+
+    if _sz("supplier") + _sz("customer") < 64 * 1024 * 1024:
+        return (
+            F.broadcast(t["supplier"])
+            .join(t["customer"], F.col("s_nationkey") == F.col("c_nationkey"))
+            .where(F.substring("s_name", 1, 2) != F.substring("c_name", 1, 2))
+            .agg(F.count("*").alias("cnt"))
+        )
     s = t["supplier"].groupBy(
         F.col("s_nationkey").alias("nk"), F.substring("s_name", 1, 2).alias("p")
     ).agg(F.count("*").alias("sc"))
