@@ -149,8 +149,16 @@ def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo[key]
 
 
-def _band_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dh = _doc_shingles(spark, sf_dir).select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
+def bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) MinHash bands of ANY (doc_id, text) frame — the
+    shared kernel behind the batch band table, the persisted corpus index and the
+    streaming micro-batch path (no checkpoint here; callers decide materialization)."""
+    toks = docs.select("doc_id", _tok.tokens("text").alias("toks"))
+    sh = (
+        toks.select("doc_id", F.explode(_tok.shingles(F.col("toks"), SHINGLE_K)).alias("sh"))
+        .distinct()
+    )
+    dh = sh.select("doc_id", _tok.hash32(F.col("sh")).alias("h")).distinct()
     sig = dh.groupBy("doc_id").agg(
         *[F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(f"s{i}") for i in range(N_HASHES)]
     )
@@ -167,8 +175,12 @@ def _band_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sig.select("doc_id", F.explode(band_structs).alias("u"))
         .select("doc_id", F.col("u.band").alias("band"), F.col("u.k").alias("band_key"))
-        .localCheckpoint(eager=True)
     )
+
+
+def _band_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return bands_of(docs).localCheckpoint(eager=True)
 
 
 @register(
@@ -780,3 +792,63 @@ def incremental_neardup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("doc_id").alias("new_doc"))
         .agg(F.min("c_doc").alias("dup_of"))
     )
+
+
+@register(
+    "s7_stream_incremental_dedup",
+    REGISTRY["x1_incremental_neardup"].oracle,
+    doc=(
+        "The crawl pipeline END TO END as a STREAM: arriving documents come in as a "
+        "file-source readStream, each micro-batch computes its MinHash bands "
+        "(bands_of — the same kernel as the batch path) and joins the PERSISTED "
+        "bucketed corpus band index inside foreachBatch, appending matches to a "
+        "durable parquet sink with a checkpoint; the result is read back from the "
+        "sink. Per-batch aggregation is exact because a document's bands live wholly "
+        "inside its batch (file-source batches never split a file). Deployment swaps "
+        "trigger(availableNow) for processingTime and the file source for the crawl "
+        "bus; join shape, sink and checkpoint story are identical. Same oracle as "
+        "x1_incremental_neardup."
+    ),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    corpus = _corpus_band_index(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "rubix_spark_stream_dedup", uuid.uuid4().hex[:12])
+    out_dir, ckpt_dir = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs_schema = catalog.table(spark, sf_dir, "documents").schema
+    reader = spark.readStream.schema(docs_schema).format("parquet")
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    if os.path.isdir(path):  # generated fixtures: a directory of part-files
+        raw = reader.load(path)
+    else:  # driver fixtures: single file — the file source needs a dir + glob filter
+        raw = reader.option("pathGlobFilter", "documents.parquet").load(sf_dir.rstrip("/"))
+    src = raw.where(F.col("doc_id") >= INCR_SPLIT)
+
+    def handle(bdf: DataFrame, batch_id: int) -> None:
+        matches = (
+            bands_of(bdf.select("doc_id", "text"))
+            .select("doc_id", F.concat_ws("|", F.col("band"), F.col("band_key")).alias("bk"))
+            .join(corpus, "bk")
+            .groupBy(F.col("doc_id").alias("new_doc"))
+            .agg(F.min("c_doc").alias("dup_of"))
+        )
+        matches.write.mode("append").parquet(out_dir)
+
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):  # no batch produced matches
+        return spark.createDataFrame([], "new_doc bigint, dup_of bigint")
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
