@@ -568,6 +568,62 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+@register(
+    "x1_diversity_keep",
+    f"""
+    WITH RECURSIVE ds AS ({_DUCK_DOC_SHINGLES}),
+    dh AS (SELECT DISTINCT doc_id, {_tok.duck_hash32('sh')} AS h FROM ds),
+    sig AS (
+        SELECT doc_id,
+               {_duck_sig_cols()}
+        FROM dh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, u['band'] AS band, u['k'] AS band_key
+        FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS u FROM sig)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                                 AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS component FROM walk GROUP BY doc_id)
+    SELECT d.source, COUNT(*) AS kept_docs, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    GROUP BY d.source
+    """,
+    doc=(
+        "Diversity retention — the curation step the cluster pipeline exists for: "
+        "after near-dup clustering (MinHash-LSH pairs -> connected components), keep "
+        "exactly ONE representative per cluster (the min-label doc, whose component "
+        "label equals its own id) plus every singleton, and report the surviving "
+        "corpus per source. This is cluster-level dedup as a retention policy: at "
+        "100 TB the components table is the persisted artifact and this query is a "
+        "broadcast-joined scan over it (components output is |clustered docs| rows, "
+        "orders of magnitude smaller than the corpus)."
+    ),
+)
+def diversity_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir).withColumnRenamed("doc_id", "c_doc")
+    kept = (
+        docs.join(F.broadcast(comp), docs["doc_id"] == F.col("c_doc"), "left")
+        .where(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style: cluster embeddings, drop within-cluster near-dups)
 # ---------------------------------------------------------------------------
