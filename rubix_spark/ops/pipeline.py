@@ -173,17 +173,43 @@ _BLOCK_IN = ", ".join(f"'{p}'" for p in BLOCKLIST)
     WHERE sh IN ({_BLOCK_IN})
     """,
     doc=(
-        "Eval-contamination screen: doc 3-shingles joined against a benchmark-phrase "
-        "blocklist (broadcast at scale; here an IN filter). Flags (doc, phrase) pairs."
+        "Eval-contamination screen. The oracle states it as shingles-IN-blocklist; the "
+        "engine runs the equivalent SUBSTRING form: a 3-token phrase occurs as "
+        "consecutive tokens iff ' phrase ' is a substring of the space-padded, "
+        "space-collapsed normalized text. The whole screen runs as ONE Arrow batch "
+        "stage (pyarrow.compute: RE2 normalize + plain-bytes match_substring per "
+        "phrase) — no 3-shingle materialization (~|tokens| rows/doc) and no JVM "
+        "regex (the r4 text-path lesson). A large blocklist swaps the per-phrase "
+        "loop for one Aho-Corasick pass over the same normalized column."
     ),
 )
 def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _toks_df(spark, sf_dir).select("doc_id", F.explode(_tok.shingles(F.col("toks"), 3)).alias("sh"))
-    return (
-        t.where(F.col("sh").isin(*BLOCKLIST))
-        .select("doc_id", F.col("sh").alias("phrase"))
-        .distinct()
-    )
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = list(BLOCKLIST)
+
+    def screen(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            text = pa.array(pdf["text"], pa.string())
+            norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
+            norm = pc.replace_substring_regex(norm, " +", " ")
+            padded = pc.binary_join_element_wise(pa.scalar(" "), norm, pa.scalar(" "), "")
+            ids = pdf["doc_id"].to_numpy()
+            out_ids, out_ph = [], []
+            for p in phrases:
+                mask = pc.match_substring(padded, f" {p} ").to_numpy(zero_copy_only=False)
+                hit = ids[mask]
+                out_ids.extend(hit.tolist())
+                out_ph.extend([p] * len(hit))
+            if out_ids:
+                yield pd.DataFrame({"doc_id": out_ids, "phrase": out_ph})
+
+    return docs.mapInPandas(screen, "doc_id bigint, phrase string")
 
 
 @register(

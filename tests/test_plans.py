@@ -137,9 +137,11 @@ def test_deep_cte_computed_once_with_broadcast_dims(spark):
 
 
 def test_arrow_kernel_text_ops_run_in_pandas_stage(spark):
-    """x3_quality / x9_token_hist / x9_e2e: per-doc regex work must run as ONE Arrow
-    batch stage (MapInPandas), not JVM regex per expression (8x at sf1, see ops/text)."""
-    for name in ("x3_quality", "x9_token_hist", "x9_e2e_pipeline"):
+    """x3_quality / x9_token_hist / x9_e2e (r4) and x3_fingerprint / x9_contamination
+    (r5): per-doc regex/shingle work must run as ONE Arrow batch stage (MapInPandas),
+    not JVM regex per expression (8x at sf1, see ops/text; fingerprint 6.6x and
+    contamination 29x at sf10)."""
+    for name in ("x3_quality", "x9_token_hist", "x9_e2e_pipeline", "x3_fingerprint", "x9_contamination"):
         assert "MapInPandas" in _plan(spark, name), name
 
 
