@@ -210,27 +210,52 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
     doc=(
-        "Explicit GROUPING SETS (the third multi-aggregate form beside ROLLUP/CUBE): "
-        "per-status, per-priority, and grand totals in ONE expand+aggregate pass, with "
-        "GROUPING() disambiguating genuine NULL keys from the subtotal rows - the SQL "
-        "surface a reporting workload expects. Same expand economics as q12/q25."
+        "Explicit GROUPING SETS (the third multi-aggregate form beside ROLLUP/CUBE) "
+        "with GROUPING() disambiguating genuine NULL keys from subtotal rows. The "
+        "engine does NOT run the Expand plan (which multiplies every input row by "
+        "|sets| before aggregating — 45M expanded rows at sf10, 20x the oracle): "
+        "COUNT and decimal SUM re-aggregate exactly, so the finest grouping is "
+        "computed ONCE (15M rows -> ~15 groups) and every set derives from that tiny "
+        "base (the x10_rollup_cascade economics applied to GROUPING SETS; 3.6 -> "
+        "1.2 s at sf10). Rounding happens only at the final level, so the result is "
+        "bit-identical to the one-pass form."
     ),
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rubix_spark.catalog import register_views
-
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS INT) AS gid,
-               COUNT(*) AS cnt,
-               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0
-                   AS total
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    orders = catalog.table(spark, sf_dir, "orders")
+    base = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("c"), F.sum(dec("o_totalprice")).alias("s"))
+        .localCheckpoint(eager=True)  # ~|status|x|priority| rows; 3 consumers below
     )
+
+    def _lvl(df, gid: int):
+        return df.select(
+            "o_orderstatus", "o_orderpriority",
+            F.lit(gid).cast("int").alias("gid"),
+            F.col("c").alias("cnt"),
+            money(F.col("s"), "total"),
+        )
+
+    by_status = _lvl(
+        base.groupBy("o_orderstatus")
+        .agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
+        .withColumn("o_orderpriority", F.lit(None).cast("string")),
+        gid=2,  # GROUPING(o_orderpriority)=1
+    )
+    by_prio = _lvl(
+        base.groupBy("o_orderpriority")
+        .agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
+        .withColumn("o_orderstatus", F.lit(None).cast("string")),
+        gid=1,  # GROUPING(o_orderstatus)=1
+    )
+    grand = _lvl(
+        base.agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
+        .withColumn("o_orderstatus", F.lit(None).cast("string"))
+        .withColumn("o_orderpriority", F.lit(None).cast("string")),
+        gid=3,
+    )
+    return by_status.unionByName(by_prio).unionByName(grand)
 
 
 @register(

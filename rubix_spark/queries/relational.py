@@ -651,14 +651,25 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
            RANK() OVER (PARTITION BY n_name ORDER BY t DESC, o_orderpriority) AS rk
     FROM r
     """,
-    doc="Join → aggregate → window rank; ranks computed over exact (decimal-summed) totals so both engines agree.",
+    doc=(
+        "Join → aggregate → window rank; ranks computed over exact (decimal-summed) "
+        "totals so both engines agree. The (custkey, nation) map — customer pre-joined "
+        "to broadcast nation, two narrow columns — broadcasts onto the orders scan, so "
+        "the fact side never exchanges; the only shuffle is the ~|nation x priority| "
+        "partial-aggregate (the q29-CTE pattern; at the SF where the map outgrows "
+        "executors, drop the hint and the planner reverts to the shuffle join)."
+    ),
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir, ("orders", "customer", "nation"))
+    cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
     r = (
         t["orders"]
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name", "o_orderpriority")
         .agg(money(F.sum(dec("o_totalprice")), "t"))
     )
