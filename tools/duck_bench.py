@@ -29,13 +29,57 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineite
           "events", "documents", "embeddings")
 
 
+def _isolated(args, names) -> None:
+    """--isolate: one subprocess per oracle with a wall timeout, results written
+    incrementally. Required at sf>=10, where a single pathological oracle
+    (x1_dedup_components' recursive CTE: >45 min observed) would otherwise pin the
+    whole run with no progress signal; timeouts are recorded, not fatal."""
+    import subprocess
+
+    out_path = args.out or "/tmp/duck_bench_isolated.json"
+    timings: dict = {}
+    if os.path.exists(out_path):  # resumable
+        timings = json.load(open(out_path)).get("queries", {})
+    for n in names:
+        if n in timings:
+            continue
+        cmd = [sys.executable, os.path.abspath(__file__), "--sf-dir", args.sf_dir,
+               "--runs", str(args.runs), "--queries", n]
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True, timeout=args.timeout)
+            line = [l for l in p.stdout.splitlines() if l.strip().startswith("{")]
+            timings[n] = json.loads(line[-1])["queries"][n] if p.returncode == 0 and line else {
+                "err": p.stderr[-200:]}
+        except subprocess.TimeoutExpired:
+            timings[n] = {"timeout_s": args.timeout}
+        ok = [v for v in timings.values() if isinstance(v, (int, float))]
+        json.dump({"metric": "duckdb_suite_avg_sec_per_query",
+                   "value": round(sum(ok) / len(ok), 4) if ok else None,
+                   "unit": "sec", "queries": timings, "sf_dir": args.sf_dir,
+                   "runs": args.runs, "isolate_timeout_s": args.timeout},
+                  open(out_path, "w"), indent=1)
+        print(n, timings[n], flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--isolate", action="store_true",
+                    help="one subprocess + timeout per oracle (mandatory at sf>=10)")
+    ap.add_argument("--timeout", type=int, default=900, help="per-oracle seconds with --isolate")
     args = ap.parse_args()
+
+    registry = load_all()
+    names = [n for n, q in registry.items() if q.oracle]
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",")]
+
+    if args.isolate:
+        _isolated(args, names)
+        return
 
     con = duckdb.connect()
     for t in TABLES:
@@ -43,11 +87,6 @@ def main() -> None:
         # generated fixtures are directories of part-files; driver fixtures are single files
         src = f"{path}/*.parquet" if glob.glob(f"{path}/*.parquet") else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-
-    registry = load_all()
-    names = [n for n, q in registry.items() if q.oracle]
-    if args.queries:
-        names = [n.strip() for n in args.queries.split(",")]
 
     timings: dict[str, float] = {}
     for name in names:
