@@ -97,10 +97,12 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Partial (map-side) + final hash agg; 6 groups, so the shuffle is tiny regardless of SF.",
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import money_sum_fast
+
     li = catalog.table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("cnt"), money(F.sum(dec("l_extendedprice")), "rev"))
+        .agg(F.count("*").alias("cnt"), money_sum_fast("l_extendedprice", "rev"))
         .where(F.col("cnt") > 10)
     )
 
@@ -360,10 +362,12 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg, one shuffle — the naive self-join plan runs the scan+agg twice (exchanges
     # key on d vs d-1, so ReusedExchange can't help; eager checkpointing was measured
     # slower than the window at every SF).
+    from rubix_spark.fns import money_sum_fast
+
     orders = catalog.table(spark, sf_dir, "orders")
     s = (
         orders.groupBy("o_custkey", F.to_date("o_orderdate").alias("d"))
-        .agg(money(F.sum(dec("o_totalprice")), "t"))
+        .agg(money_sum_fast("o_totalprice", "t"))
     )
     w = Window.partitionBy("o_custkey").orderBy("d")
     return (
@@ -462,7 +466,14 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / NULLIF(COUNT(CASE WHEN o_totalprice > 50000 THEN 1 END), 0)''')} AS b2
     FROM orders
     """,
-    doc="Exact distinct (expand/two-phase agg in Spark) + conditional averages via exact decimal sums.",
+    doc=(
+        "Exact distinct + conditional decimal averages. MIXING a distinct aggregate "
+        "with plain ones makes Spark plan an Expand that duplicates every input row "
+        "per aggregate group (measured 4.0 s at sf10), so the engine runs the two "
+        "families as INDEPENDENT single-row aggregations and cross-joins them: the "
+        "distinct path partial-aggregates (o_custkey) and the sums path never "
+        "expands — 2.0x at sf10, identical answer."
+    ),
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = catalog.table(spark, sf_dir, "orders")
@@ -474,11 +485,9 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.count(F.when(cond, F.lit(1)))
         return round_det(s / F.nullif(c, F.lit(0))).alias(alias)
 
-    return orders.agg(
-        F.countDistinct("o_custkey").alias("dc"),
-        cond_avg(in_b1, "b1"),
-        cond_avg(in_b2, "b2"),
-    )
+    dc = orders.select("o_custkey").distinct().agg(F.count("*").alias("dc"))
+    sums = orders.agg(cond_avg(in_b1, "b1"), cond_avg(in_b2, "b2"))
+    return dc.crossJoin(sums)  # two 1-row aggregates
 
 
 # ---------------------------------------------------------------------------
@@ -667,11 +676,13 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "n_name")
     )
+    from rubix_spark.fns import money_sum_fast
+
     r = (
         t["orders"]
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name", "o_orderpriority")
-        .agg(money(F.sum(dec("o_totalprice")), "t"))
+        .agg(money_sum_fast("o_totalprice", "t"))
     )
     w = Window.partitionBy("n_name").orderBy(F.col("t").desc(), "o_orderpriority")
     return r.select("n_name", "o_orderpriority", "t", F.rank().over(w).alias("rk"))
@@ -689,8 +700,10 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Tumbling-hour bucketing in batch; identical grouping to streaming S1 (window start = trunc).",
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import money_sum_fast
+
     events = catalog.table(spark, sf_dir, "events")
     return (
         events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
-        .agg(F.count("*").alias("c"), money(F.sum(dec("value")), "v"))
+        .agg(F.count("*").alias("c"), money_sum_fast("value", "v"))
     )
