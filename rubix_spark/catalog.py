@@ -124,7 +124,7 @@ _STATS_COLUMNS: dict[str, tuple[str, ...]] = {
 
 
 def analyze(
-    spark: SparkSession, sf_dir: str, names: tuple = TABLES, prefix: str = "rx_",
+    spark: SparkSession, sf_dir: str, names: tuple = TABLES, prefix: str | None = None,
     route: bool = False,
 ) -> dict[str, dict]:
     """Opt-in ANALYZE/CBO pass — the ``ANALYZE TABLE`` story a 100× scale-up wants.
@@ -147,6 +147,27 @@ def analyze(
     stats survive in the metastore rather than a session's in-memory catalog.
     """
     ensure_session_confs(spark)
+    # Default prefix: dir-independent "rx_" for ad-hoc stats runs, but a DIGEST of
+    # sf_dir when routing — two routed dirs sharing one prefix would silently re-point
+    # the first dir's rx_* tables at the second (catalog.table(old_dir, ...) then
+    # returns the new dir's data for anything not already memoized; ADVICE r5).
+    if prefix is None:
+        if route:
+            import hashlib
+
+            prefix = f"rx{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:6]}_"
+        else:
+            prefix = "rx_"
+    if route:
+        routed_now = getattr(spark, "_rubix_analyzed_prefix", {})
+        clash = next(
+            (d for d, p in routed_now.items() if p == prefix and d != sf_dir.rstrip("/")), None
+        )
+        if clash is not None:
+            raise ValueError(
+                f"prefix {prefix!r} already routes {clash}; re-routing it to {sf_dir} "
+                "would silently serve the new dir's data for the old dir"
+            )
     out: dict[str, dict] = {}
     for name in names:
         tbl = f"{prefix}{name}"

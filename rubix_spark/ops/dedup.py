@@ -894,7 +894,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_id").alias("new_doc"))
             .agg(F.min("c_doc").alias("dup_of"))
         )
-        matches.write.mode("append").parquet(out_dir)
+        # Idempotent replay (ADVICE r5): foreachBatch is at-least-once — a crash after
+        # the write but before the checkpoint commit replays the batch on restart, and
+        # a bare append would duplicate its match rows. Writing each batch to its own
+        # batch_id-derived directory with OVERWRITE makes the replay a no-op rewrite
+        # (the standard exactly-once foreachBatch recipe for file sinks).
+        matches.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch-{batch_id}"))
 
     q = (
         src.writeStream.foreachBatch(handle)
@@ -905,6 +910,6 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     if not os.path.isdir(out_dir):  # no batch produced matches
         return spark.createDataFrame([], "new_doc bigint, dup_of bigint")
-    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    result = spark.read.parquet(f"{out_dir}/batch-*").localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result

@@ -116,7 +116,11 @@ def q30_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     part = catalog.table(spark, sf_dir, "part")
     y = (
-        li.select("l_orderkey", "l_partkey", "l_quantity")
+        # the shared oracle's UNION ALL of = 'R' / <> 'R' branches excludes NULL
+        # returnflags; the direct scan must too (a filter doesn't disturb the bucket
+        # partitioning). ADVICE r5 — latent divergence if regenerated data adds nulls.
+        li.where(F.col("l_returnflag").isNotNull())
+        .select("l_orderkey", "l_partkey", "l_quantity")
         .join(orders.select("o_orderkey", "o_orderdate").hint("merge"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))

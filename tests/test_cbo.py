@@ -75,6 +75,47 @@ def test_analyze_stats_flip_filtered_dim_to_broadcast(spark):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
 
 
+def test_analyze_route_prefixes_are_per_dir(spark, tmp_path):
+    """Routing two sf_dirs must not silently re-point one dir's tables at the other
+    (ADVICE r5): default routed prefixes embed a digest of sf_dir, and explicitly
+    reusing a routed prefix for a different dir raises."""
+    import shutil
+
+    from tests.conftest import SF_SMOKE
+
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    for name in catalog.TABLES:
+        src = f"{SF_SMOKE}/{name}.parquet"
+        shutil.copy(src, alt / f"{name}.parquet")
+    try:
+        catalog.analyze(spark, SF_T2, route=True)
+        catalog.analyze(spark, str(alt), route=True)  # distinct digest prefix: fine
+        routed = spark._rubix_analyzed_prefix
+        assert routed[SF_T2.rstrip("/")] != routed[str(alt)]
+        # explicit reuse of the first dir's prefix for another dir must refuse
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            catalog.analyze(spark, str(alt), prefix=routed[SF_T2.rstrip("/")], route=True)
+        # and each dir's catalog.table still reads its own data
+        assert catalog.table(spark, SF_T2, "nation").count() == catalog.table(
+            spark, str(alt), "nation"
+        ).count()
+    finally:
+        routed = getattr(spark, "_rubix_analyzed_prefix", {})
+        for d in (SF_T2.rstrip("/"), str(alt)):
+            p = routed.pop(d, None)
+            if p:
+                for name in catalog.TABLES:
+                    spark.sql(f"DROP TABLE IF EXISTS {p}{name}")
+        memo = getattr(spark, "_rubix_table_memo", {})
+        for k in [k for k in memo if k[0] in (SF_T2.rstrip("/"), str(alt))]:
+            del memo[k]
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+
+
 def test_analyze_reports_stats_for_all_fixture_tables(spark):
     """analyze() must succeed across every fixture table (incl. events' timestamp and
     embeddings' array column, where column stats are restricted to supported types)."""
