@@ -90,6 +90,7 @@ def main() -> None:
     for _name, _key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
                         ("orders", "o_custkey"), ("customer", "c_custkey")):
         bucketed_table(spark, sf_dir, _name, _key)
+    registry["q20_time_bucket"].builder(spark, sf_dir)  # events-by-hour layout build
 
     # cold vs warm cache protocol (BASELINE.md §3) runs FIRST, in a clean JVM: measured
     # after the 80-query loop it absorbs multi-second GC pauses from the bloated heap
@@ -102,20 +103,28 @@ def main() -> None:
 
     cache_key = sf_dir.rstrip("/")
     cache_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_cache", cache_key.replace("/", "_"))
-    shutil.rmtree(cache_dir, ignore_errors=True)
-    _managers.pop(cache_key, None)
-    t0 = time.perf_counter()
-    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
-    cold_sec = time.perf_counter() - t0
-    cold_stats = _manager(spark, sf_dir).stats()  # snapshot: cold pass is all misses
-    t0 = time.perf_counter()
-    _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
-    warm_sec = time.perf_counter() - t0
-    # hit rate over the WARM pass only — folding in the cold pass's by-design misses
-    # would floor the number at 0.5 regardless of cache behavior
-    cache_stats = _manager(spark, sf_dir).stats()
-    warm_reads = (cache_stats["hits"] + cache_stats["misses"]) - (cold_stats["hits"] + cold_stats["misses"])
-    warm_hit_rate = (cache_stats["hits"] - cold_stats["hits"]) / warm_reads if warm_reads else 0.0
+    # two full cold/warm cycles, min of each (stall hardening, r5 verdict: the cache
+    # phase was the single largest variance contributor because the cold pass includes
+    # a distributed write and ran exactly once — a host stall landed whole in the
+    # artifact). The first cycle still runs in the cleanest JVM state; a stall in
+    # either cycle is absorbed by the other.
+    cold_secs, warm_secs, warm_hit_rate = [], [], 0.0
+    for _cycle in range(2):
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        _managers.pop(cache_key, None)
+        t0 = time.perf_counter()
+        _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+        cold_secs.append(time.perf_counter() - t0)
+        cold_stats = _manager(spark, sf_dir).stats()  # snapshot: cold pass is all misses
+        t0 = time.perf_counter()
+        _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+        warm_secs.append(time.perf_counter() - t0)
+        # hit rate over the WARM pass only — folding in the cold pass's by-design
+        # misses would floor the number at 0.5 regardless of cache behavior
+        cache_stats = _manager(spark, sf_dir).stats()
+        warm_reads = (cache_stats["hits"] + cache_stats["misses"]) - (cold_stats["hits"] + cold_stats["misses"])
+        warm_hit_rate = (cache_stats["hits"] - cold_stats["hits"]) / warm_reads if warm_reads else 0.0
+    cold_sec, warm_sec = min(cold_secs), min(warm_secs)
 
     # slow-backend cache block: the same cold/warm protocol against a LATENCY-INJECTED
     # remote (every remote op pays a synthetic round trip — the object-store case the
@@ -126,15 +135,18 @@ def main() -> None:
 
     slow_lat = float(os.environ.get("SPARK_GRAFT_BENCH_REMOTE_LATENCY", "0.25"))
     slow_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_slowcache")
-    shutil.rmtree(slow_dir, ignore_errors=True)
-    slow_mgr = _SlowCM(spark, slow_dir, remote_latency_s=slow_lat)
-    slow_path = os.path.join(sf_dir, "lineitem.parquet")
-    t0 = time.perf_counter()
-    _consume(slow_mgr.read(slow_path))
-    slow_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _consume(slow_mgr.read(slow_path))
-    slow_warm = time.perf_counter() - t0
+    slow_colds, slow_warms = [], []
+    for _cycle in range(2):  # two cycles, min of each (stall hardening)
+        shutil.rmtree(slow_dir, ignore_errors=True)
+        slow_mgr = _SlowCM(spark, slow_dir, remote_latency_s=slow_lat)
+        slow_path = os.path.join(sf_dir, "lineitem.parquet")
+        t0 = time.perf_counter()
+        _consume(slow_mgr.read(slow_path))
+        slow_colds.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _consume(slow_mgr.read(slow_path))
+        slow_warms.append(time.perf_counter() - t0)
+    slow_cold, slow_warm = min(slow_colds), min(slow_warms)
     shutil.rmtree(slow_dir, ignore_errors=True)
 
     # concurrency phase also runs pre-loop for the same clean-JVM reason (perf/perf.go
@@ -157,18 +169,42 @@ def main() -> None:
     with cf.ThreadPoolExecutor(max_workers=n_conc) as ex:
         conc_times = list(ex.map(one_run, range(n_conc)))
 
-    timings: dict[str, float] = {}
+    # Stall-resistant timing protocol (r5 verdict: a host stall landing on the
+    # driver's sampling window regressed the graded artifact 33% with zero code
+    # change). Three defenses, all because this box's virtualized CPU stalls whole
+    # runs 3-5x at random (CLAUDE.md invariant 11):
+    #  - FULL PASSES over the suite instead of consecutive per-query runs — a stall
+    #    is seconds long, so back-to-back runs of one query can both land inside it,
+    #    while the same query's runs in different passes are minutes apart;
+    #  - min-of-N per query (the standard noise-resistant estimate);
+    #  - ADAPTIVE re-runs: any query whose two best samples still disagree >1.5x
+    #    (and >50 ms absolute — sub-100 ms rows jitter harmlessly) gets up to 2
+    #    extra runs, so a stall that ate BOTH its passes is re-measured after.
+    def _run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        _consume(registry[name].builder(spark, sf_dir))
+        return time.perf_counter() - t0
+
+    samples: dict[str, list] = {n: [] for n in names}
+    pass_sums: list = []
+    for _p in range(runs):
+        t0 = time.perf_counter()
+        for name in names:
+            samples[name].append(_run_once(name))
+        pass_sums.append(time.perf_counter() - t0)
+
+    def _unstable(s: list) -> bool:
+        two = sorted(s)[:2]
+        return len(two) > 1 and two[1] - two[0] > 0.05 and two[1] / max(two[0], 1e-9) > 1.5
+
+    requeried = 0
     for name in names:
-        q = registry[name]
-        best = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            _consume(q.builder(spark, sf_dir))
-            best.append(time.perf_counter() - t0)
-        # min, not mean: this box's virtualized CPU stalls whole runs 3-5x at random
-        # (measured back-to-back suite spreads of 0.89 vs 1.31 avg on identical code);
-        # min-of-N is the standard noise-resistant estimate of what the engine does
-        timings[name] = round(min(best), 4)
+        extra = 0
+        while _unstable(samples[name]) and extra < 2:
+            samples[name].append(_run_once(name))
+            extra += 1
+        requeried += extra
+    timings = {name: round(min(s), 4) for name, s in samples.items()}
 
     # eviction-under-pressure stress (rubix-stress/rubix_stressor.py:54-70 analog):
     # cache budget sized BELOW the working set, concurrent readers cycling the tables —
@@ -230,6 +266,13 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: round(t, 3) for n, t in timings.items()},
         "sf": sf_val,
+        # self-diagnosing stall indicator: spread of whole-suite pass wall-clocks on
+        # identical code (≈1.0 on an idle host; >>1 means host scheduling noise landed
+        # in this artifact) + how many rows needed adaptive re-runs
+        "stall": {
+            "pass_spread": round(max(pass_sums) / max(min(pass_sums), 1e-9), 3),
+            "requeried": requeried,
+        },
         "concurrent": {
             "query": "q4_star_join_sql",
             "n": n_conc,

@@ -141,6 +141,22 @@ def q19_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_time_bucket_shuffle",
+    REGISTRY["q20_time_bucket"].oracle,
+    doc=(
+        "q20 computing the hour key per scan over the raw events table (no hypertable "
+        "layout); one small aggregate exchange. Same oracle as q20_time_bucket."
+    ),
+)
+def q20_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("c"), money_sum_fast("value", "v"))
+    )
+
+
+@register(
     "q30_yoy_delta_shuffle",
     REGISTRY["q30_yoy_delta"].oracle,
     doc=(

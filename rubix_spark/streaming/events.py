@@ -120,11 +120,21 @@ def _stream_partitions(sf_dir: str) -> int:
     PER micro-batch (a stream-stream join keeps four), so 32 partitions over a tens-of-MB
     micro-batch is pure commit overhead (measured: s5 3.1 s -> 2.3 s at 8). Scale up by
     input size exactly like a production job sizes state partitions to state volume."""
+    path = os.path.join(sf_dir.rstrip("/"), "events.parquet")
     try:
-        size = os.path.getsize(os.path.join(sf_dir.rstrip("/"), "events.parquet"))
+        if os.path.isdir(path):  # generated fixtures: a directory of part-files
+            size = sum(
+                os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(path) for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
     except OSError:
         size = 0
-    return max(8, size // (128 * 1024 * 1024))
+    # floor of 4 (was 8): at sf0.1 the events micro-batch is ~10 MB and state-store
+    # instantiation+commit is the dominant cost of the streaming rows (r5 verdict:
+    # s2/s6 were 2 of the top-3 driver-window rows); halving the store count measured
+    # s2 0.96->0.72 s with identical results. One store per 32 MB of input beyond that.
+    return max(4, size // (32 * 1024 * 1024))
 
 
 # Streaming runs mutate the session-global shuffle-partition conf for the duration of
@@ -248,12 +258,22 @@ def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s6_stream_durable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "rubix_spark_stream", uuid.uuid4().hex[:12])
+    # Each run gets a fresh checkpoint (a reused one would make the whole run a no-op
+    # restart and return the PREVIOUS result without recomputing — correct-looking but
+    # a lie in a benchmark). Accumulation is bounded by sweeping prior runs' dirs here
+    # instead of paying a localCheckpoint job to allow same-run cleanup (r6: the
+    # returned frame now reads the durable sink lazily, which is also the honest
+    # "result served from the sink" shape).
+    root = os.path.join(tempfile.gettempdir(), "rubix_spark_stream")
+    for stale in glob.glob(os.path.join(root, "*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    base = os.path.join(root, uuid.uuid4().hex[:12])
     out_dir, ckpt_dir = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(ckpt_dir, exist_ok=True)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         # complete-mode batches carry the full current result — overwrite makes the
@@ -276,12 +296,7 @@ def s6_stream_durable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # pin the small result into executor storage so the run's sink + checkpoint dirs
-    # can be removed NOW (repeated bench/test runs would otherwise accumulate them);
-    # eager localCheckpoint keeps compute-once semantics with ContextCleaner reclaim
-    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
-    shutil.rmtree(base, ignore_errors=True)
-    return result
+    return spark.read.parquet(out_dir)
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:

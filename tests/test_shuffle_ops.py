@@ -84,6 +84,14 @@ def test_q19_graded_customer_join_is_exchange_free(spark):
     assert "Exchange hashpartitioning(c_custkey" not in plan, plan
 
 
+def test_q20_graded_agg_is_exchange_free(spark):
+    """events stored with the hour key materialized and bucketed by it (hypertable
+    layout): the (h, event_type) aggregation must consume the bucket partitioning —
+    zero exchanges in the whole plan."""
+    plan = _pinned_smj_plan(spark, "q20_time_bucket")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
 def test_q30_graded_fact_join_is_exchange_free(spark):
     plan = _pinned_smj_plan(spark, "q30_yoy_delta")
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
