@@ -372,30 +372,53 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q28_tpch_q1_fast",
-    None,  # rows-only: double sums are order-dependent at the ulp level across engines
+    """
+    SELECT l_returnflag, l_linestatus,
+           FLOOR(CAST(SUM(l_quantity) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_qty,
+           CAST(FLOOR(SUM(l_extendedprice) + 0.5) AS BIGINT) AS sum_base_price,
+           CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) + 0.5) AS BIGINT) AS sum_disc_price,
+           CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 0.5) AS BIGINT) AS sum_charge,
+           FLOOR(AVG(l_quantity) * 100 + 0.5) / 100.0 AS avg_qty,
+           FLOOR(AVG(l_discount) * 10000 + 0.5) / 10000.0 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
     doc=(
         "q28_tpch_q1 the way a production job would run it: plain DOUBLE sums and "
-        "avg(), no per-row decimal casts. Registered rows-only because double "
-        "summation order differs between engines/runs (invariant 2) — the repo gate "
-        "instead checks it against the exact twin at 1e-9 relative tolerance "
-        "(tests/test_queries.py::test_q28_fast_twin_matches_exact). Exists to "
-        "measure the oracle-exactness tax: the sf10 gap on q28 is the decimal "
-        "arithmetic required for cross-engine determinism, not engine debt."
+        "avg(), no per-row decimal casts — the aggregation plan the sf10 timing "
+        "measures. Round-6 (r5 verdict #5): now ORACLE-CHECKED via quantization "
+        "instead of rows-only. Double summation order differs between engines at the "
+        "~1e-6 absolute level on these ~1e8-dollar sums (measured across 5 extreme "
+        "orderings at sf0.01), so the 6-row OUTPUT is quantized post-aggregation — "
+        "money sums to whole dollars, averages to their reporting precision — which "
+        "both engines compute identically with ~1e-6/1 boundary-flip probability per "
+        "value. Cent-exact output remains the decimal twin's job (q28_tpch_q1); the "
+        "repo gate additionally checks this twin against it at 1e-9 relative "
+        "(tests/test_queries.py::test_q28_fast_twin_matches_exact). The quantization "
+        "costs nothing measurable: it applies to 6 post-aggregate rows."
     ),
 )
 def q28_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import round_det
+
     li = catalog.table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+
+    def dollars(col: F.Column, alias: str) -> F.Column:
+        return F.floor(col + F.lit(0.5)).cast("bigint").alias(alias)
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price).alias("sum_disc_price"),
-        F.sum(charge).alias("sum_charge"),
-        F.avg("l_quantity").alias("avg_qty"),
-        F.avg("l_discount").alias("avg_disc"),
+        round_det(F.sum("l_quantity")).alias("sum_qty"),
+        dollars(F.sum("l_extendedprice"), "sum_base_price"),
+        dollars(F.sum(disc_price), "sum_disc_price"),
+        dollars(F.sum(charge), "sum_charge"),
+        round_det(F.avg("l_quantity")).alias("avg_qty"),
+        round_det(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 

@@ -94,10 +94,10 @@ def test_approx_quantiles_within_rank_error(spark):
 
 
 def test_q28_fast_twin_matches_exact(spark):
-    """q28_tpch_q1_fast (rows-only gate): the double-sum production twin must agree
-    with the decimal-exact oracle-checked q28 to 1e-9 relative on every aggregate —
-    proving the sf10 ratio gap on q28 is the decimal determinism tax, not a different
-    answer."""
+    """The double-sum production twin must agree with the decimal-exact q28 on every
+    aggregate (r6: the twin is also oracle-checked at whole-dollar quantization; this
+    test keeps the tighter cross-twin bound) — proving the sf10 ratio gap on q28 is
+    the decimal determinism tax, not a different answer."""
     key = ("l_returnflag", "l_linestatus")
     exact = {tuple(getattr(r, k) for k in key): r for r in REGISTRY["q28_tpch_q1"].builder(spark, SF).collect()}
     fast = {tuple(getattr(r, k) for k in key): r for r in REGISTRY["q28_tpch_q1_fast"].builder(spark, SF).collect()}
@@ -107,6 +107,7 @@ def test_q28_fast_twin_matches_exact(spark):
         assert f.count_order == e.count_order
         for col in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_disc"):
             ev, fv = float(getattr(e, col)), float(getattr(f, col))
-            # the exact twin floor-rounds each ROW to cents before summing, so the
-            # twins may drift by up to half a cent per row; plus fp slack
-            assert abs(fv - ev) <= max(1e-9 * abs(ev), 0.005 * e.count_order + 0.01), (k, col, ev, fv)
+            # the exact twin floor-rounds each ROW to cents before summing (drift up
+            # to half a cent per row) and the fast twin quantizes its OUTPUT to whole
+            # dollars (r6, +0.5 slack); plus fp slack
+            assert abs(fv - ev) <= max(1e-9 * abs(ev), 0.005 * e.count_order + 0.51), (k, col, ev, fv)
