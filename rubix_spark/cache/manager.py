@@ -116,6 +116,9 @@ class CacheManager:
         # local dir), so a memoized entry can never serve stale or relocated data —
         # the in-memory-metadata pattern of the reference's BookKeeper cache.
         self._df_memo: dict[tuple[str, int], DataFrame] = {}
+        # two-phase delete state (see _defer_delete): [(unlink_after_ts, path), ...]
+        self._evict_grace_s = float(os.environ.get("RUBIX_CACHE_EVICT_GRACE_S", "60"))
+        self._trash: list[tuple[float, str]] = []
         self._counters = {
             "hits": 0,
             "misses": 0,
@@ -305,7 +308,7 @@ class CacheManager:
             shutil.rmtree(local, ignore_errors=True)
             return None
         if prev is not None:
-            shutil.rmtree(prev.local_path, ignore_errors=True)
+            self._defer_delete(prev.local_path)  # readers of the old subset may be in flight
         with self._lock:
             self._counters["warmed_files"] += 1
         self.evict_to_budget()
@@ -506,12 +509,42 @@ class CacheManager:
         expected = entry.remote_size if entry.remote_size is not None else entry.size_bytes
         return mtime == entry.last_modified and size == expected
 
+    # ------------------------------------------------------------------ two-phase delete
+    def _defer_delete(self, path: str) -> None:
+        """Phase-2 of eviction/invalidation: the entry leaves the manifest (and budget
+        accounting) IMMEDIATELY, but its files stay on disk for a grace period so an
+        in-flight Spark scan planned over the copy can finish — a scan resolves
+        absolute file paths at plan time, and unlinking them mid-read fails the whole
+        job (observed once in the sf1 eviction-stress phase as
+        FAILED_READ_FILE.FILE_NOT_EXIST when an eviction raced a concurrent reader).
+        Re-warms can never collide with a deferred dir: every warm commits under a
+        BUMPED generation into a fresh directory (warm(): next_generation). The grace
+        protects readers in THIS process; cross-process readers coordinate through the
+        manifest before planning (same bound as the reference's local block deletes).
+        """
+        with self._lock:
+            self._trash.append((time.time() + self._evict_grace_s, path))
+        self._drain_trash()
+
+    def _drain_trash(self, force: bool = False) -> None:
+        now = time.time()
+        with self._lock:
+            keep = [(due, p) for due, p in self._trash if not force and due > now]
+            drop = [p for due, p in self._trash if force or due <= now]
+            self._trash = keep
+        for p in drop:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def flush_trash(self) -> None:
+        """Unlink all deferred deletes now (shutdown/test hook)."""
+        self._drain_trash(force=True)
+
     # ------------------------------------------------------------------ invalidation
     def invalidate(self, remote_path: str) -> None:
         """Drop the cached copy and bump the generation (BookKeeper.invalidateFileMetadata)."""
         entry = self.manifest.remove(remote_path)
         if entry:
-            shutil.rmtree(entry.local_path, ignore_errors=True)
+            self._defer_delete(entry.local_path)
             self.manifest.next_generation(remote_path)
             self._df_memo.pop((remote_path, entry.generation), None)
             with self._lock:
@@ -519,7 +552,10 @@ class CacheManager:
 
     # ------------------------------------------------------------------ eviction
     def evict_to_budget(self) -> int:
-        """LRU eviction until under budget (Guava weigher analog, BookKeeper.java:656-686)."""
+        """LRU eviction until under budget (Guava weigher analog, BookKeeper.java:656-686).
+
+        Deletion is two-phase (``_defer_delete``): manifest removal is immediate,
+        the unlink waits out a reader grace period."""
         if self.budget_bytes is None:
             return 0
         evicted = 0
@@ -529,7 +565,7 @@ class CacheManager:
                 if lru is None:
                     break
                 self.manifest.remove(lru.remote_path)
-                shutil.rmtree(lru.local_path, ignore_errors=True)
+                self._defer_delete(lru.local_path)
                 self._df_memo.pop((lru.remote_path, lru.generation), None)
                 evicted += 1
                 self._counters["evictions"] += 1

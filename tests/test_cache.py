@@ -88,6 +88,25 @@ def test_eviction_under_budget(spark, remote_dir, tmp_path):
     assert _rows(cm.read(o_path)) == r_orders
 
 
+def test_eviction_is_two_phase_for_inflight_readers(spark, remote_dir, tmp_path):
+    """A reader holding a DataFrame planned over a cached copy must survive that
+    copy's eviction (r6: eviction unlinking files mid-scan failed a concurrent sf1
+    stress reader with FAILED_READ_FILE). Manifest removal is immediate; the unlink
+    waits out a grace period, and flush_trash() reclaims the disk."""
+    cm = CacheManager(spark, str(tmp_path / "cache"))
+    path = f"{remote_dir}/nation.parquet"
+    expected = _rows(cm.read(path))
+    entry = cm.manifest.get(path)
+    df = cm.read(path)  # a hit: planned over the local copy
+    cm.budget_bytes = 1  # force everything out
+    assert cm.evict_to_budget() >= 1
+    assert cm.manifest.get(path) is None  # logically gone (budget accounting)
+    assert _rows(df) == expected  # in-flight reader still completes
+    assert os.path.isdir(entry.local_path)  # files held by the grace period
+    cm.flush_trash()
+    assert not os.path.isdir(entry.local_path)  # reclaimed on demand
+
+
 def test_deny_pattern_skips_cache(spark, remote_dir, tmp_path):
     """skipCache regex gate (CacheUtil.java:203-222)."""
     cm = CacheManager(spark, str(tmp_path / "cache"), deny_patterns=(r"orders",))
