@@ -469,10 +469,13 @@ def x10_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q29 CTE, pre-checkpoint (exposed so plan tests can assert its join strategy)."""
     from rubix_spark.fns import dec_det
+    from rubix_spark.sources.bucketing import bucketed_table
 
-    t = catalog.load(
-        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
-    )
+    t = catalog.load(spark, sf_dir, ("customer", "nation", "region", "supplier"))
+    # round-6: the fact join reads the orderkey-bucketed warehouse layout (merge-pinned
+    # per invariant 17) — the one wide shuffle the round-5 plan had left is gone
+    t["lineitem"] = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    t["orders"] = bucketed_table(spark, sf_dir, "orders", "o_orderkey").hint("merge")
     # dimension pre-filter (invariant 19): region IN (...) reaches customer through
     # nation BEFORE the fact join, so the filtered (custkey, nation) map broadcasts
     # and BOTH custkey exchanges (join + re-shuffled customer) disappear; the only

@@ -249,19 +249,28 @@ def q4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir, ("supplier", "customer"))
-    # size-adaptive (the CBO call): under ~64 MB of input the pair space is small and
-    # the broadcast theta-join's single stage beats the decomposition's four (0.13 vs
-    # 0.39 s at sf0.1); above it the pair space grows as the PRODUCT of the inputs and
-    # only the decomposition stays linear (0.64 vs 246 s at sf10).
+    # size-adaptive (the CBO call): when the PAIR SPACE is small the broadcast
+    # theta-join's single stage beats the decomposition's four (0.13 vs 0.39 s at
+    # sf0.1); beyond it only the decomposition stays linear (0.64 vs 246 s at sf10).
+    # The decision key is |S|x|C| — the pair count the theta branch must evaluate —
+    # read for free from parquet footers. Round-6 lesson: deciding on FILE BYTES let a
+    # regenerated sf10 fixture (heavily compressible amplified text: 16 MB on disk,
+    # 1.6M rows, ~6e9 pairs) fall into the O(pairs) branch — 226 s. Row counts are
+    # the quantity the cost actually scales with; bytes are a compression artifact.
     import os
 
-    def _sz(name):
-        p = f"{sf_dir.rstrip('/')}/{name}.parquet"
-        if os.path.isdir(p):
-            return sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(p) for f in fs)
-        return os.path.getsize(p) if os.path.exists(p) else 0
+    def _rows(name):
+        import pyarrow.parquet as pq
 
-    if _sz("supplier") + _sz("customer") < 64 * 1024 * 1024:
+        p = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        if os.path.isdir(p):  # generated fixtures: a directory of part-files
+            return sum(
+                pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                for r, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(p).metadata.num_rows if os.path.exists(p) else 0
+
+    if _rows("supplier") * _rows("customer") < 1e8:  # ~4e6 same-nation pairs over 25 nations
         return (
             F.broadcast(t["supplier"])
             .join(t["customer"], F.col("s_nationkey") == F.col("c_nationkey"))
@@ -491,12 +500,15 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Exact distinct + conditional decimal averages. MIXING a distinct aggregate "
         "with plain ones makes Spark plan an Expand that duplicates every input row "
-        "per aggregate group (measured 4.0 s at sf10), so the engine runs the two "
-        "families as INDEPENDENT single-row aggregations and cross-joins them: the "
-        "distinct path partial-aggregates (o_custkey) and the sums path never "
-        "expands — 2.0x at sf10, identical answer. Round-6: orders is read from the "
-        "custkey-bucketed layout, so the exact distinct needs NO exchange at all (the "
-        "15M-key shuffle the r5 verdict flagged); ablation: q13_distinct_buckets_shuffle."
+        "per aggregate group (measured 4.0 s at sf10), so the engine decomposes. "
+        "Round-6: over the custkey-bucketed layout, ONE grouped pass produces both "
+        "families — groupBy(o_custkey) consumes the bucket partitioning (zero "
+        "exchange; the 15M-key shuffle the r5 verdict flagged is gone) and emits "
+        "per-customer partial CASE-sums/counts; the final single-row aggregate counts "
+        "the groups (= exact COUNT(DISTINCT), NULL group skipped by count(col) per "
+        "ADVICE r5) and re-sums the partials (decimal sums are exactly associative, "
+        "so two-level summation is bit-identical to one level). One scan instead of "
+        "the r5 plan's two. Ablation: q13_distinct_buckets_shuffle."
     ),
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,19 +517,23 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     in_b1 = F.col("o_totalprice").between(0, 50000)
     in_b2 = F.col("o_totalprice") > 50000
+    g = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(in_b1, dec("o_totalprice"))).alias("s1"),
+        F.count(F.when(in_b1, F.lit(1))).alias("c1"),
+        F.sum(F.when(in_b2, dec("o_totalprice"))).alias("s2"),
+        F.count(F.when(in_b2, F.lit(1))).alias("c2"),
+    )
 
-    def cond_avg(cond, alias):
-        s = F.sum(F.when(cond, dec("o_totalprice"))).cast("double")
-        c = F.count(F.when(cond, F.lit(1)))
-        return round_det(s / F.nullif(c, F.lit(0))).alias(alias)
+    def final_avg(s_col, c_col, alias):
+        return round_det(
+            F.sum(s_col).cast("double") / F.nullif(F.sum(c_col), F.lit(0))
+        ).alias(alias)
 
-    # count(col), not count(*): after distinct a NULL custkey survives as one row,
-    # but COUNT(DISTINCT o_custkey) in the oracle ignores NULLs (ADVICE r5 — the
-    # same latent-null class q18 fixed; fixtures have no nulls today, the driver
-    # regenerates them every round)
-    dc = orders.select("o_custkey").distinct().agg(F.count("o_custkey").alias("dc"))
-    sums = orders.agg(cond_avg(in_b1, "b1"), cond_avg(in_b2, "b2"))
-    return dc.crossJoin(sums)  # two 1-row aggregates
+    return g.agg(
+        F.count("o_custkey").alias("dc"),
+        final_avg("s1", "c1", "b1"),
+        final_avg("s2", "c2", "b2"),
+    ).select("dc", "b1", "b2")
 
 
 # ---------------------------------------------------------------------------

@@ -130,6 +130,10 @@ def test_deep_cte_computed_once_with_broadcast_dims(spark):
     )
     assert cte_plan.count("BroadcastHashJoin") >= 3
     assert "BroadcastNestedLoopJoin" not in cte_plan and "CartesianProduct" not in cte_plan
+    # round-6: the fact join reads the orderkey-bucketed layout — the CTE's one wide
+    # shuffle is gone; the only exchange left is the much smaller partial-aggregate
+    assert "Exchange hashpartitioning(l_orderkey" not in cte_plan, cte_plan
+    assert "Exchange hashpartitioning(o_orderkey" not in cte_plan, cte_plan
 
     plan = _plan(spark, "q29_deep_cte")
     assert "FileScan parquet" not in plan  # every consumer reads the materialized CTE
