@@ -314,10 +314,16 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Outer join preserving unmatched customers; COUNT of a nullable column yields 0 for them.",
 )
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    # round-6: both sides from the custkey-bucketed layouts — the outer SMJ consumes
+    # the co-located sorted buckets and the groupBy consumes the join's partitioning:
+    # zero exchanges in the whole plan (sf10: 1.78 -> measured in BASELINE).
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    customer = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     return (
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        customer
+        .join(orders.hint("merge"), F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
@@ -335,11 +341,18 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LEFT SEMI join — no row multiplication, orders side reduced to distinct keys by the plan.",
 )
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load(spark, sf_dir, ("customer", "orders"))
-    hot = t["orders"].where(F.col("o_totalprice") > 100000).select("o_custkey")
+    # round-6: custkey-bucketed layouts on both sides; the filter preserves the bucket
+    # partitioning, so the semi join is a zero-exchange co-located SMJ (merge-pinned
+    # per invariant 17 — a size estimate would otherwise broadcast the filtered side,
+    # which flips to a scale-killer when the filter stops being selective).
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    customer = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    hot = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
     return (
-        t["customer"]
-        .join(hot, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        customer
+        .join(hot.hint("merge"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
     )
 
@@ -353,10 +366,15 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LEFT ANTI join; NOT-IN null trap avoided because o_custkey is non-null in the fixtures.",
 )
 def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load(spark, sf_dir, ("customer", "orders"))
+    # round-6: zero-exchange co-located anti join over the custkey layouts (see q7).
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    customer = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     return (
-        t["customer"]
-        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        customer
+        .join(orders.select("o_custkey").hint("merge"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey")
     )
 
@@ -427,7 +445,11 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Top-3 per customer. One shuffle on o_custkey; at scale the rank-filter pushes via AQE window-group-limit.",
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = catalog.table(spark, sf_dir, "orders")
+    # round-6: the window's partitionBy o_custkey is satisfied by the bucket
+    # partitioning — no exchange, only the local frame sort remains.
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         orders.select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rk"))
@@ -450,7 +472,10 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Moving average over a 3-row frame + lag; frame sums are ≤3 doubles in deterministic order, so engines agree.",
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = catalog.table(spark, sf_dir, "orders")
+    # round-6: bucket partitioning satisfies the window partition (see q10).
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_orderkey",
@@ -676,7 +701,10 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = catalog.table(spark, sf_dir, "orders")
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    # round-6: the decorrelated window runs over the custkey buckets — zero exchange
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     w = Window.partitionBy("o_custkey")
     avg_t = F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)
     return (

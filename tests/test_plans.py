@@ -183,8 +183,9 @@ def test_semantic_dedup_blocked_join(spark):
 
 
 def test_correlated_subquery_runs_as_window(spark):
-    """q18: the per-customer average must come from a window over ONE exchange of
-    orders — the decorrelated join form scans and shuffles the table twice."""
+    """q18: the per-customer average must come from a window, never the decorrelated
+    join form (which scans and shuffles the table twice) — and since round 6 the
+    window consumes the custkey bucket partitioning, so the plan has ZERO exchanges."""
     plan = _plan(spark, "q18_correlated")
     assert "Join" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -84,6 +84,18 @@ def test_q19_graded_customer_join_is_exchange_free(spark):
     assert "Exchange hashpartitioning(c_custkey" not in plan, plan
 
 
+def test_custkey_family_is_exchange_free(spark):
+    """Round-6 second wave: every custkey-keyed graded row rides the existing
+    orders-by-custkey / customer-by-custkey layouts — joins (q6 outer, q7 semi,
+    q8 anti) plan as co-located merge joins and windows (q10, q11, q18) consume the
+    bucket partitioning directly. No exchange keyed on either custkey anywhere."""
+    for name in ("q6_left_join", "q7_semi_join", "q8_anti_join",
+                 "q10_window_rank", "q11_window_frame", "q18_correlated"):
+        plan = _pinned_smj_plan(spark, name)
+        assert "Exchange hashpartitioning(o_custkey" not in plan, (name, plan)
+        assert "Exchange hashpartitioning(c_custkey" not in plan, (name, plan)
+
+
 def test_q20_graded_agg_is_exchange_free(spark):
     """events stored with the hour key materialized and bucketed by it (hypertable
     layout): the (h, event_type) aggregation must consume the bucket partitioning —
