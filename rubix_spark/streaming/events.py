@@ -149,20 +149,33 @@ _shuffle_conf_lock = threading.Lock()
 def _run_available_now(
     spark: SparkSession, result: DataFrame, mode: str = "complete", partitions: int | None = None
 ) -> DataFrame:
-    """Execute a streaming plan to completion into a memory sink; return the sink table.
+    """Execute a streaming plan to completion; return the result as a DataFrame.
+
+    Round-6: foreachBatch + eager ``localCheckpoint`` instead of a memory sink. The
+    memory sink materializes every batch as rows ON THE DRIVER and its table is never
+    dropped, so a long session (the 113-query bench runs each streaming row several
+    times) accumulated ~100k driver rows per run with no reclaim path; checkpointed
+    batches live in executor storage and are reclaimed by the ContextCleaner when the
+    returned DataFrame is collected and dropped (invariant 9 economics). Measured
+    slightly FASTER than the memory sink as well (no driver round trip). In complete
+    mode the LAST batch is the full result; in append mode the result is the union of
+    batch outputs.
 
     ``partitions`` (from ``_stream_partitions``) is applied for the duration of the run
     and restored after — the state-store count is pinned into the query's checkpoint at
     start, so this is the one place it can be set."""
-    name = f"rs_{uuid.uuid4().hex[:12]}"
+    batches: list[tuple[int, DataFrame]] = []
+
+    def capture(bdf: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, bdf.localCheckpoint(eager=True)))
+
     with _shuffle_conf_lock:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         if partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
         try:
             q = (
-                result.writeStream.format("memory")
-                .queryName(name)
+                result.writeStream.foreachBatch(capture)
                 .outputMode(mode)
                 .trigger(availableNow=True)
                 .start()
@@ -171,7 +184,14 @@ def _run_available_now(
         finally:
             if partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    if not batches:
+        return spark.createDataFrame([], result.schema)
+    if mode == "complete":
+        return max(batches)[1]  # the last complete-mode batch IS the full result
+    out = None
+    for _, bdf in sorted(batches, key=lambda t: t[0]):
+        out = bdf if out is None else out.unionByName(bdf)
+    return out
 
 
 @register(
