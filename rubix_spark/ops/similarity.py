@@ -6,12 +6,19 @@ Three paths, mirroring how a 100 TB vector corpus is actually served:
   a 1-row broadcast; the scan is embarrassingly parallel; top-k is
   TakeOrderedAndProject (per-partition heaps + driver merge of k rows, never a full sort).
 - ``x2_ann_ivf``       — IVF-lite: a deterministic centroid set (first 16 vectors stands in
-  for a k-means codebook), every vector assigned to its nearest centroid (broadcast join —
-  this is the "build" pass you'd persist, bucketed by centroid id), then the query probes
-  only its ``NPROBE`` nearest centroid buckets.  At scale: the assignment table is written
-  bucketed by ``centroid_id`` so a probe reads only matching buckets.
+  for a k-means codebook), every vector assigned to its nearest centroid.  The assignment
+  is a WRITTEN table bucketed by ``cid`` (``_ivf_index`` via
+  ``sources.bucketing.persisted_bucketed`` — built once per fixture generation, probed
+  forever); a probe bucket-prunes to its ``NPROBE`` nearest centroid buckets.
 - ``x2_ann_lsh``       — sign-LSH: 8 deterministic md5-derived hyperplanes → 8-bit bucket
-  key; candidates = query's bucket only.
+  key.  The (vec_id, bucket, embedding) index is likewise a WRITTEN bucketed table
+  (``_lsh_index``); serving reads ONLY the query's bucket file — no signature recompute.
+
+The build-once/serve-many split is the reference's own warm-once contract
+(``CachingFileSystem.java:227-260`` warms a block once and serves every later read from
+the cache; ``BookKeeper.java:248-353`` keeps status lookups cheap) applied to the vector
+path: at 100 TB, re-hashing the corpus per probe is a full scan per query, while the
+persisted index makes a probe a single bucket read.
 
 All arithmetic is float→double before multiply/sum, sequential fold on both engines, so
 the oracle hashes match.
@@ -225,6 +232,30 @@ def _probe_cids(cents: dict, qe: list) -> list[int]:
     return [cid for cid, _ in sorted(cents.items(), key=lambda kv: (-_py_cos(kv[1], qe), kv[0]))[:NPROBE]]
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITTEN IVF assignment: (vec_id, embedding, cid) for the whole corpus,
+    persisted ONCE as a table bucketed by ``cid`` (``persisted_bucketed``; fingerprint
+    of embeddings.parquet guards staleness across driver fixture regenerations). A
+    probe's ``cid IN (...)`` filter bucket-prunes the scan to the probed centroid
+    files — the corpus is never re-assigned at serve time. Same ingest-time economics
+    as the dedup corpus band index (``ops/dedup._corpus_band_index``)."""
+    from rubix_spark.sources.bucketing import persisted_bucketed
+
+    def build():
+        emb = catalog.table(spark, sf_dir, "embeddings")
+        cents, _ = _ivf_codebook(emb, (), memo_key=sf_dir)
+        return _ivf_assign(emb, cents)
+
+    return persisted_bucketed(
+        spark,
+        label="ivf_index",
+        source_path=f"{sf_dir.rstrip('/')}/embeddings.parquet",
+        build=build,
+        bucket_col="cid",
+        n_buckets=N_CENTROIDS,
+    )
+
+
 def _ivf_assign(emb: DataFrame, cents: dict) -> DataFrame:
     """Zero-shuffle IVF assignment: argmax over dot(e, ĉ) with centroids NORMALIZED
     driver-side — cos(e,c) = dot(e, c/|c|) / |e|, and |e| is a positive per-row
@@ -269,26 +300,29 @@ def _ivf_assign(emb: DataFrame, cents: dict) -> DataFrame:
     LIMIT {TOP_K}
     """,
     doc=(
-        "IVF probe: assign vectors to nearest of 16 deterministic centroids (broadcast "
-        "join build pass; persisted bucketed-by-cid at scale), probe the query's 4 nearest "
-        "centroid buckets, exact cosine inside probed buckets only."
+        "IVF probe against the PERSISTED assignment index: vectors are assigned to the "
+        "nearest of 16 deterministic centroids ONCE and written bucketed by cid "
+        "(_ivf_index); a query bucket-prunes the scan to its 4 nearest centroid "
+        "buckets and runs exact cosine inside them only."
     ),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-shuffle build pass (see _ivf_assign); the probe set resolves driver-side
-    into an isin filter. Assignment equivalence with the oracle's cosine-argmax form is
-    asserted via the oracle hash at every SF (tests/test_queries)."""
+    """Serve path: the probe set resolves driver-side into a cid IN filter that
+    bucket-prunes the written index (plan pinned: SelectedBucketsCount <= NPROBE, no
+    Exchange — tests/test_shuffle_ops.py); the assignment pass (_ivf_assign) runs only
+    inside the one-time index build. Assignment equivalence with the oracle's
+    cosine-argmax form is asserted via the oracle hash at every SF (tests/test_queries)."""
     emb = catalog.table(spark, sf_dir, "embeddings")
     cents, extras = _ivf_codebook(emb, (QUERY_VEC_ID,), memo_key=sf_dir)
     qe = extras[QUERY_VEC_ID]
     probe_cids = _probe_cids(cents, qe)
-    assign = _ivf_assign(emb, cents)
+    index = _ivf_index(spark, sf_dir)
 
     # the query vector is already a driver value — score against it as a literal
     # (same float32-widened doubles the oracle casts), no 1-row scan/broadcast/join
     sim = cosine_lit("embedding", qe)
     return (
-        assign.where(F.col("cid").isin(probe_cids))
+        index.where(F.col("cid").isin(probe_cids))
         .select("vec_id", sim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(TOP_K)
@@ -319,6 +353,41 @@ def _lsh_bucket() -> Column:
         for p, row in enumerate(_planes())
     )
     return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def _py_bucket(qe: list) -> int:
+    """The query's sign-LSH bucket, computed driver-side. Bit-identical to
+    ``_lsh_bucket()``: the per-plane dot products are exact in double (float32
+    mantissa × |w|≤500 stays under 53 bits) and ``_py_dot`` is the same sequential
+    fold, so the sign bits agree with both engines."""
+    b = 0
+    for p, plane in enumerate(_planes()):
+        if _py_dot(qe, plane) > 0:
+            b |= 1 << p
+    return b
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITTEN sign-LSH index: (vec_id, embedding, bucket) persisted ONCE as a
+    table bucketed by ``bucket`` (``persisted_bucketed``; fingerprinted against
+    embeddings.parquet so a driver fixture regeneration rebuilds instead of serving
+    stale signatures). Serving filters ``bucket = <query bucket>`` which bucket-prunes
+    to a single file — the 8-hyperplane signature pass runs only at build time, never
+    per probe."""
+    from rubix_spark.sources.bucketing import persisted_bucketed
+
+    def build():
+        emb = catalog.table(spark, sf_dir, "embeddings")
+        return emb.select("vec_id", "embedding", _lsh_bucket().alias("bucket"))
+
+    return persisted_bucketed(
+        spark,
+        label="lsh_index",
+        source_path=f"{sf_dir.rstrip('/')}/embeddings.parquet",
+        build=build,
+        bucket_col="bucket",
+        n_buckets=32,
+    )
 _DUCK_PLANES = f"""
     SELECT p.i AS plane, j.i AS dim,
            CAST(CAST(concat('0x', substr(md5(concat(p.i, '_', j.i)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) AS w
@@ -352,29 +421,29 @@ _DUCK_PLANES = f"""
     LIMIT {TOP_K}
     """,
     doc=(
-        "Sign-LSH: 8 md5-derived deterministic hyperplanes → 8-bit bucket; search only the "
-        "query's bucket. At scale the bucket id is a partition key (256-way); recall is "
-        "traded via multi-probe (flip-1-bit buckets) — exactness is NOT claimed."
+        "Sign-LSH against the PERSISTED bucket index: 8 md5-derived deterministic "
+        "hyperplanes → 8-bit bucket, written once bucketed by bucket id (_lsh_index); "
+        "a probe bucket-prunes to the query's single bucket file. Recall is traded "
+        "via multi-probe (x2_ann_lsh_multiprobe) — exactness is NOT claimed."
     ),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-shuffle signature pass: the 8×64 hyperplane matrix is deterministic
-    (md5-derived), so it is generated driver-side — the same formula as the oracle's
-    ``_DUCK_PLANES`` — and folded into ONE projection as 8 array literals: 8 dot-product
-    folds, 8 sign bits, one bucket id per row. No posexplode (was a 64× row blowup), no
-    plane join, no (vec_id, plane) aggregation shuffle. The per-plane dot products are
-    exact in double (float32 mantissa × |w|≤500 stays under 53 bits), so the sign bits
-    are order-independent and match the oracle's SUM-based variant bit-for-bit.
-    """
+    """Serve path reads the written index only: the query's bucket is computed
+    driver-side (``_py_bucket`` — exact, see its docstring) from the memoized query
+    vector, and the ``bucket = qb`` filter bucket-prunes the scan to ONE of 32 files
+    (plan pinned: SelectedBucketsCount 1/32, zero Exchange —
+    tests/test_shuffle_ops.py). The signature pass (one projection of 8 literal-vector
+    dot folds, no posexplode/plane-join/shuffle) runs only inside the one-time index
+    build. Sign bits match the oracle's SUM-based variant bit-for-bit (exact-in-double
+    argument in ``_lsh_bucket``'s docstring)."""
     emb = catalog.table(spark, sf_dir, "embeddings")
-    keys = emb.select("vec_id", "embedding", _lsh_bucket().alias("bucket"))
-    q = keys.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("bucket").alias("qb"), F.col("embedding").alias("qe")
-    )
-    sim = cosine(F.col("embedding"), F.col("qe"))
+    _, extras = _ivf_codebook(emb, (QUERY_VEC_ID,), memo_key=sf_dir)
+    qe = extras[QUERY_VEC_ID]
+    qb = _py_bucket(qe)
+    index = _lsh_index(spark, sf_dir)
+    sim = cosine_lit("embedding", qe)
     return (
-        keys.crossJoin(F.broadcast(q))
-        .where(F.col("bucket") == F.col("qb"))
+        index.where(F.col("bucket") == F.lit(qb))
         .select("vec_id", sim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(TOP_K)
@@ -576,21 +645,21 @@ _PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)] + [
         "Multi-probe sign-LSH: candidates = the query's bucket PLUS every bucket within "
         "Hamming distance 2 on the 8-bit signature (37/256 buckets, ~14% of the corpus) "
         "— the standard recall repair for sign-LSH; radius 2 is calibrated against a "
-        "clustered fixture to recall@10 >= 0.8 (tests/test_ann.py). Same zero-shuffle "
-        "signature pass as x2_ann_lsh; the probe set is a 37-value IN on the bucket "
-        "key, which at scale is 37 partition reads of a bucket-partitioned table."
+        "clustered fixture to recall@10 >= 0.8 (tests/test_ann.py). Probes the same "
+        "PERSISTED index as x2_ann_lsh: the probe set resolves driver-side to a "
+        "37-value IN on the bucket key, i.e. 37 bucket reads of the written table — "
+        "still no per-probe signature recompute."
     ),
 )
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.table(spark, sf_dir, "embeddings")
-    keys = emb.select("vec_id", "embedding", _lsh_bucket().alias("bucket"))
-    q = keys.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("bucket").alias("qb"), F.col("embedding").alias("qe")
-    )
-    sim = cosine(F.col("embedding"), F.col("qe"))
+    _, extras = _ivf_codebook(emb, (QUERY_VEC_ID,), memo_key=sf_dir)
+    qe = extras[QUERY_VEC_ID]
+    qb = _py_bucket(qe)
+    index = _lsh_index(spark, sf_dir)
+    sim = cosine_lit("embedding", qe)
     return (
-        keys.crossJoin(F.broadcast(q))
-        .where(F.expr("bucket ^ qb").isin(_PROBE_MASKS))
+        index.where(F.col("bucket").isin([qb ^ m for m in _PROBE_MASKS]))
         .select("vec_id", sim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(TOP_K)
@@ -634,10 +703,11 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= {KNN_K}
     """,
     doc=(
-        "kNN JOIN through IVF buckets — the batch-queries scale path: corpus assignment "
-        "is the same zero-shuffle literal-codebook pass as x2_ann_ivf, each query probes "
-        "its 4 nearest buckets, and candidates are scored only inside shared buckets "
-        "(a broadcast of the tiny (qid,cid) probe map — never queries x corpus). "
+        "kNN JOIN through IVF buckets — the batch-queries scale path: the corpus reads "
+        "the PERSISTED bucketed assignment index (shared with x2_ann_ivf), each query "
+        "probes its 4 nearest buckets, and candidates are scored only inside shared "
+        "buckets (a broadcast of the tiny (qid,cid) probe map — never queries x corpus; "
+        "the union of probed cids bucket-prunes the index scan). "
         "Per-query top-3 via WindowGroupLimit. Approximate by construction; the oracle "
         "restates the identical bucket semantics, so the gate is exact."
     ),
@@ -647,7 +717,7 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog.table(spark, sf_dir, "embeddings")
     cents, extras = _ivf_codebook(emb, tuple(range(N_QUERIES)), memo_key=sf_dir)
-    assign = _ivf_assign(emb, cents)
+    assign = _ivf_index(spark, sf_dir)
     probe_pairs = [(qid, cid) for qid, qe in extras.items() for cid in _probe_cids(cents, qe)]
     probes = emb.sparkSession.createDataFrame(probe_pairs, "qid bigint, cid int")
 
@@ -655,7 +725,11 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     scored = (
-        assign.join(F.broadcast(probes), "cid")
+        # the isin duplicate of the join condition is what bucket-prunes the index
+        # scan (pruning keys off filters, not join keys); the join then fans out
+        # per-query inside the pruned buckets only
+        assign.where(F.col("cid").isin(sorted({cid for _, cid in probe_pairs})))
+        .join(F.broadcast(probes), "cid")
         .join(F.broadcast(q), "qid")
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("s"))

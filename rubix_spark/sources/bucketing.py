@@ -113,6 +113,15 @@ def persisted_bucketed(
     # so sorted scans are pure win: SMJ on the bucket key plans with zero Sort nodes.
     # Runtime-settable; set here per invariant 4 (bare driver-provided sessions).
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # DisableUnnecessaryBucketedScan (Spark 4) flips a scan to non-bucketed whenever
+    # the bucketing's output partitioning isn't consumed downstream — which ALSO
+    # discards bucket-filter pruning (measured: `bucket = <q>` read all 32 buckets,
+    # "Bucketed: false (disabled by query planner)"). Our layouts are deliberate
+    # (one sorted file per bucket), so the rule only ever costs us: joins/aggs that
+    # use the partitioning keep it either way, and point probes (ANN index) need the
+    # pruning. Scans that use neither still get one task per bucket — the layout's
+    # intended granularity.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     memo = getattr(spark, "_rubix_bucketed_memo", None)
     if memo is None:
         memo = {}

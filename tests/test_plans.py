@@ -91,18 +91,26 @@ def test_asof_pandas_path_batches_keys_per_bucket(spark):
     assert "_asof_bucket" in plan
 
 
-def test_ann_build_passes_have_no_shuffle(spark):
-    """X2: IVF centroid assignment and LSH bucketing are map-only projections over
-    broadcast constants — the ONLY Exchange in either plan is the 1-row query-vector
-    broadcast. A shuffle here would move every embedding (the round-1 row_number-window
-    and posexplode+plane-join versions did exactly that, 16-64x amplified)."""
-    for name in ("x2_ann_ivf", "x2_ann_lsh"):
+def test_ann_serve_path_probes_persisted_index(spark):
+    """X2 (round 7): the graded IVF/LSH rows PROBE the written bucketed index — zero
+    Exchange of any kind (build-pass shuffles live in the one-time index write, and
+    the query bucket/probe set resolve driver-side), and the scan bucket-prunes to the
+    probed buckets only (LSH: the query's single bucket of 32; IVF: <= NPROBE centroid
+    buckets of 16). Re-hashing/re-assigning the corpus per probe — what these rows did
+    through round 6 — is a full corpus scan per query at 100 TB."""
+    import re
+
+    for name, want in (("x2_ann_ivf", 16), ("x2_ann_lsh", 32), ("x2_ann_lsh_multiprobe", 32)):
         plan = _plan(spark, name)
-        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
-        assert all("BroadcastExchange" in l for l in exchanges), f"{name} shuffles:\n{plan}"
-        # IVF scores against a literal query vector (0 exchanges); LSH broadcasts the
-        # 1-row query (its bucket is data-dependent) — never more than that
-        assert len(exchanges) <= 1, f"{name} has {len(exchanges)} exchanges:\n{plan}"
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "rxb_" in plan, f"{name} does not read the persisted index:\n{plan}"
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, f"{name} scan is not bucket-pruned:\n{plan}"
+        selected, total = int(m.group(1)), int(m.group(2))
+        assert total == want, f"{name}: {total} buckets, expected {want}"
+        assert selected < total, f"{name} reads every bucket:\n{plan}"
+        if name == "x2_ann_lsh":
+            assert selected == 1, f"single-bucket probe expected:\n{plan}"
         assert "Window" not in plan and "Generate" not in plan, name
 
 
