@@ -214,18 +214,26 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with GROUPING() disambiguating genuine NULL keys from subtotal rows. The "
         "engine does NOT run the Expand plan (which multiplies every input row by "
         "|sets| before aggregating — 45M expanded rows at sf10, 20x the oracle): "
-        "COUNT and decimal SUM re-aggregate exactly, so the finest grouping is "
+        "COUNT and the sum re-aggregate exactly, so the finest grouping is "
         "computed ONCE (15M rows -> ~15 groups) and every set derives from that tiny "
         "base (the x10_rollup_cascade economics applied to GROUPING SETS; 3.6 -> "
-        "1.2 s at sf10). Rounding happens only at the final level, so the result is "
-        "bit-identical to the one-pass form."
+        "1.2 s at sf10). The base pass sums integer ten-thousandths on the LONG fast "
+        "path (the money_sum_fast form q3/q9/q13 already ride — exact and associative "
+        "like the decimal sum, without the BigDecimal cast per row; capacity bound in "
+        "docs/SCALE.md), converted to decimal once per group at the final level, so "
+        "the result is bit-identical to the one-pass decimal form."
     ),
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = catalog.table(spark, sf_dir, "orders")
     base = (
         orders.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("c"), F.sum(dec("o_totalprice")).alias("s"))
+        .agg(
+            F.count("*").alias("c"),
+            # long ten-thousandths (money_sum_fast's row expression): re-aggregation
+            # across grouping levels is plain long addition, still exact
+            F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")).alias("s"),
+        )
         .localCheckpoint(eager=True)  # ~|status|x|priority| rows; 3 consumers below
     )
 
@@ -234,7 +242,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority",
             F.lit(gid).cast("int").alias("gid"),
             F.col("c").alias("cnt"),
-            money(F.col("s"), "total"),
+            money(F.col("s").cast("decimal(38,4)") / F.lit(10000), "total"),
         )
 
     by_status = _lvl(
