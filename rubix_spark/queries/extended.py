@@ -220,8 +220,11 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1.2 s at sf10). The base pass sums integer ten-thousandths on the LONG fast "
         "path (the money_sum_fast form q3/q9/q13 already ride — exact and associative "
         "like the decimal sum, without the BigDecimal cast per row; capacity bound in "
-        "docs/SCALE.md), converted to decimal once per group at the final level, so "
-        "the result is bit-identical to the one-pass decimal form."
+        "docs/SCALE.md). The grouping-set levels are finalized DRIVER-SIDE over the "
+        "collected ~15-row base — exact integer re-aggregation, the combiner-tree "
+        "final step over a bounded artifact (kills the checkpoint job + 3 per-level "
+        "jobs + union; one scan is the whole query). Bit-identical to the one-pass "
+        "decimal form."
     ),
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,36 +237,34 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             # across grouping levels is plain long addition, still exact
             F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")).alias("s"),
         )
-        .localCheckpoint(eager=True)  # ~|status|x|priority| rows; 3 consumers below
+        .collect()  # |status| x |priority| rows — bounded driver artifact
     )
 
-    def _lvl(df, gid: int):
-        return df.select(
-            "o_orderstatus", "o_orderpriority",
-            F.lit(gid).cast("int").alias("gid"),
-            F.col("c").alias("cnt"),
-            money(F.col("s").cast("decimal(38,4)") / F.lit(10000), "total"),
-        )
+    import math
+    from collections import defaultdict
 
-    by_status = _lvl(
-        base.groupBy("o_orderstatus")
-        .agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
-        .withColumn("o_orderpriority", F.lit(None).cast("string")),
-        gid=2,  # GROUPING(o_orderpriority)=1
+    def roll(key):
+        acc = defaultdict(lambda: [0, 0])
+        for r in base:
+            k = key(r)
+            acc[k][0] += r.c
+            acc[k][1] += r.s
+        return acc
+
+    def total(s: int) -> float:
+        # money(s/10000): s/10000 in double is the correctly-rounded value of the
+        # exact decimal quotient — identical to the Spark/DuckDB decimal-cast path
+        v = s / 10000
+        return math.floor(v * 100 + 0.5) / 100.0
+
+    rows = (
+        [(k, None, 2, c, total(s)) for k, (c, s) in roll(lambda r: r.o_orderstatus).items()]
+        + [(None, k, 1, c, total(s)) for k, (c, s) in roll(lambda r: r.o_orderpriority).items()]
+        + [(None, None, 3, c, total(s)) for _, (c, s) in roll(lambda r: None).items()]
     )
-    by_prio = _lvl(
-        base.groupBy("o_orderpriority")
-        .agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
-        .withColumn("o_orderstatus", F.lit(None).cast("string")),
-        gid=1,  # GROUPING(o_orderstatus)=1
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, o_orderpriority string, gid int, cnt bigint, total double"
     )
-    grand = _lvl(
-        base.agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
-        .withColumn("o_orderstatus", F.lit(None).cast("string"))
-        .withColumn("o_orderpriority", F.lit(None).cast("string")),
-        gid=3,
-    )
-    return by_status.unionByName(by_prio).unionByName(grand)
 
 
 @register(

@@ -67,9 +67,10 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "MAX of every column answered from parquet FOOTER statistics (column-chunk "
         "min/max is already in the metadata — reference stress max_all.sql:1-27 pays a "
-        "full 11-column decode for it); only columns whose stats aren't provably exact "
-        "(the two strings — writers may truncate BYTE_ARRAY bounds) are scanned, and "
-        "that scan reads 2 dictionary-encoded columns, not 11."
+        "full 11-column decode for it); columns whose stats aren't provably exact "
+        "(sources/stats.py trust rules: long/non-ASCII strings, ns timestamps, absent "
+        "chunks) fall back to a pruned scan of just those columns. On the fixtures "
+        "every column is metadata-answerable, so the row costs footer IO only."
     ),
 )
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,6 +166,11 @@ _Q4_ORACLE = f"""
         "planner's column-pruned size estimate otherwise sneaks orders under the "
         "broadcast threshold at sf10 and builds a 15M-row broadcast (10.4 s vs 2.6 s). "
         "supplier/nation/region/customer broadcast; region filter prunes pre-join. "
+        "Size-adaptive (round-7, the q5 pattern): below ~2M lineitem rows the "
+        "pinned SMJ's merge machinery costs more than the one broadcast stage AQE "
+        "builds over the raw scan (idle-measured toy-scale inversion, invariant 16: "
+        "0.73 vs 0.60 s at sf0.1, while the layout wins 0.87 vs 1.77 at sf1 and "
+        "2.14 vs 7.17 at sf10), so the branch keys on the parquet-footer row count. "
         "Layout-less ablation: q4_star_join_shuffle."
     ),
 )
@@ -176,7 +182,15 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 and 5x at sf10 vs probing unfiltered dims. The supplier nationkey equality
     # rides as a post-join filter (s_suppkey is unique, so the single-long-key hash
     # probe beats the composite-key relation).
+    import os
+
+    from rubix_spark.queries import REGISTRY
     from rubix_spark.sources.bucketing import bucketed_table
+    from rubix_spark.sources.stats import parquet_row_count
+
+    min_rows = int(os.environ.get("RUBIX_Q4_LAYOUT_MIN_ROWS", 2_000_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/lineitem.parquet") < min_rows:
+        return REGISTRY["q4_star_join_shuffle"].builder(spark, sf_dir)
 
     li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
@@ -285,18 +299,13 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regenerated sf10 fixture (heavily compressible amplified text: 16 MB on disk,
     # 1.6M rows, ~6e9 pairs) fall into the O(pairs) branch — 226 s. Row counts are
     # the quantity the cost actually scales with; bytes are a compression artifact.
-    import os
+    from rubix_spark.sources.stats import parquet_row_count
 
     def _rows(name):
-        import pyarrow.parquet as pq
+        import os
 
         p = f"{sf_dir.rstrip('/')}/{name}.parquet"
-        if os.path.isdir(p):  # generated fixtures: a directory of part-files
-            return sum(
-                pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
-                for r, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
-            )
-        return pq.ParquetFile(p).metadata.num_rows if os.path.exists(p) else 0
+        return parquet_row_count(p) if os.path.exists(p) else 0
 
     if _rows("supplier") * _rows("customer") < 1e8:  # ~4e6 same-nation pairs over 25 nations
         return (

@@ -10,9 +10,17 @@ already-computed answer. The same mechanism backs Spark's own DSv2
 (bucketed layouts, cache shim) everywhere else.
 
 Trust rules — a footer value is used ONLY when it is provably the exact max:
-- BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY (strings, decimals-as-binary) are never trusted:
-  writers may store truncated bounds (parquet allows ``max_value`` to be an upper
-  bound, and not every pyarrow exposes ``is_max_value_exact``).
+- numeric / date / timestamp physical types: always exact in parquet stats.
+- strings (BYTE_ARRAY with String logical type): trusted ONLY when both min and max
+  are pure-ASCII and <= 8 bytes. Parquet permits truncated bounds (``max_value`` may
+  be an upper bound, and pyarrow 16 does not expose ``is_max_value_exact``), but every
+  known writer truncates binary stats at >= 64 bytes (parquet-mr
+  ``parquet.statistics.truncate.length``, parquet-cpp ``max_statistics_size`` drops
+  rather than truncates) — an 8-byte bound cannot be a truncation artifact. The ASCII
+  restriction sidesteps the legacy signed-vs-unsigned byte-order ambiguity of old
+  BYTE_ARRAY stats and engine collation differences (ASCII compares identically under
+  memcmp, UTF8String order, and Python str order).
+- binary non-string (pyarrow yields ``bytes``) is never trusted.
 - timestamp[ns] columns are not trusted (Python datetime carries micros; the exact
   nanosecond max is not representable — the events.ts unit has changed across driver
   fixture generations, invariant 13).
@@ -25,7 +33,7 @@ from __future__ import annotations
 
 import os
 
-_UNTRUSTED_PHYSICAL = {"BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"}
+_STR_TRUST_LEN = 8
 
 
 def _parquet_files(path: str) -> list[str]:
@@ -36,6 +44,16 @@ def _parquet_files(path: str) -> list[str]:
             out.extend(os.path.join(root, f) for f in sorted(files) if f.endswith(".parquet"))
         return out
     return [path]
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact table row count from footers only — the size key for adaptive plan
+    branches (q4/q5). Row counts, not file bytes: bytes are a compression artifact
+    (invariant: a 16 MB heavily-compressed fixture held 1.6M rows and mis-keyed q5's
+    branch), while footer ``num_rows`` is what join/pair cost actually scales with."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
 
 
 def footer_max(path: str) -> tuple[dict[str, object], list[str]]:
@@ -67,11 +85,25 @@ def footer_max(path: str) -> tuple[dict[str, object], list[str]]:
                 if name in bad:
                     continue
                 s = c.statistics
-                if s is None or not s.has_min_max or c.physical_type in _UNTRUSTED_PHYSICAL:
+                if s is None or not s.has_min_max:
                     bad.add(name)
                     maxes.pop(name, None)
                     continue
                 v = s.max
+                if isinstance(v, bytes):  # binary non-string: never trusted
+                    bad.add(name)
+                    maxes.pop(name, None)
+                    continue
+                if isinstance(v, str):  # short-ASCII trust rule (see module doc)
+                    mn = s.min
+                    if not (
+                        isinstance(mn, str)
+                        and v.isascii() and mn.isascii()
+                        and len(v) <= _STR_TRUST_LEN and len(mn) <= _STR_TRUST_LEN
+                    ):
+                        bad.add(name)
+                        maxes.pop(name, None)
+                        continue
                 if name not in maxes or v > maxes[name]:
                     maxes[name] = v
     return maxes, [n for n in names if n not in maxes]

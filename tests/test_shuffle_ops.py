@@ -46,11 +46,13 @@ def _pinned_smj_plan(spark, name: str) -> str:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_q4_graded_fact_join_is_exchange_free(spark):
+def test_q4_graded_fact_join_is_exchange_free(spark, monkeypatch):
     """Round-6: the GRADED q4 row runs the warehouse layout (r5 only proved it on a
     twin): with lineitem+orders bucketed+sorted by orderkey, the fact-fact join must
     plan as SMJ with NO shuffle and NO sort on either fact input (the only exchange
-    left is the tiny post-join groupBy)."""
+    left is the tiny post-join groupBy). Round-7: q4 is size-adaptive (toy-scale
+    inversion, invariant 16) — force the layout branch the big SFs take."""
+    monkeypatch.setenv("RUBIX_Q4_LAYOUT_MIN_ROWS", "0")
     plan = _pinned_smj_plan(spark, "q4_star_join")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan

@@ -1,0 +1,69 @@
+"""Idle re-measurement of individual registered queries (invariant 11 protocol:
+min-of-N with per-run prints so a host stall is visible, bench-like session confs,
+layouts prebuilt untimed).  Usage:
+
+    python tools/time_query.py q4_star_join q4_star_join_shuffle [--sf DIR] [--n 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n", type=int, default=5)
+    ap.add_argument("--analyze", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from rubix_spark import catalog
+    from rubix_spark.queries import load_all
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    catalog.ensure_session_confs(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+                      ("orders", "o_custkey"), ("customer", "c_custkey")):
+        bucketed_table(spark, args.sf, name, key)
+    reg["q20_time_bucket"].builder(spark, args.sf)
+    from rubix_spark.ops.similarity import _ivf_index, _lsh_index
+
+    _lsh_index(spark, args.sf)
+    _ivf_index(spark, args.sf)
+    if args.analyze:
+        catalog.analyze(spark, args.sf, route=True)
+
+    for name in args.names:
+        q = reg[name]
+        # warmup (plan caches, JIT)
+        q.builder(spark, args.sf).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(args.n):
+            t0 = time.perf_counter()
+            q.builder(spark, args.sf).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        print(f"{name}: min={min(samples):.3f}s  samples={[round(s, 3) for s in samples]}")
+
+
+if __name__ == "__main__":
+    main()
