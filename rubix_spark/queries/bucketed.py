@@ -175,13 +175,17 @@ def q30_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["part"].select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"), F.col("p_brand").alias("brand"))
-        .agg(F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("tot"))
+        # same long fast-path sum as the graded body (round-7) — the ablation differs
+        # only in LAYOUT, so the expression improvements ride along
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias("s"))
     )
     w = Window.partitionBy("brand").orderBy("yr")
-    d = y.select("brand", "yr", "tot", F.lag("tot").over(w).alias("prev"))
-    return d.where(F.col("prev").isNotNull() & (F.col("tot") < F.col("prev"))).select(
+    d = y.select("brand", "yr", "s", F.lag("s").over(w).alias("ps"))
+    tot = F.col("s").cast("decimal(38,2)") / F.lit(100)
+    prev = F.col("ps").cast("decimal(38,2)") / F.lit(100)
+    return d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps"))).select(
         "brand", "yr",
-        money(F.col("prev"), "prev_qty"),
-        money(F.col("tot"), "cur_qty"),
-        money(F.col("tot") - F.col("prev"), "delta"),
+        money(prev, "prev_qty"),
+        money(tot, "cur_qty"),
+        money(tot - prev, "delta"),
     )

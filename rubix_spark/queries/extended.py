@@ -635,13 +635,33 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from pyspark.sql import Window
 
+    from rubix_spark.queries import REGISTRY
     from rubix_spark.sources.bucketing import bucketed_table
+    from rubix_spark.sources.stats import parquet_row_count
+
+    # Size-adaptive (round-7, the q4/q5 pattern — invariant 16's two points DISAGREE
+    # here): at sf0.1 the broadcast plan over the raw scan wins (0.72 vs 0.99 s idle),
+    # at sf1/sf10 the bucketed SMJ wins (0.91 vs 1.54, 2.80 vs 3.59). Same 2M-row key
+    # as q4.
+    min_rows = int(os.environ.get("RUBIX_Q30_LAYOUT_MIN_ROWS", 2_000_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/lineitem.parquet") < min_rows:
+        return REGISTRY["q30_yoy_delta_shuffle"].builder(spark, sf_dir)
 
     li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     t = catalog.load(spark, sf_dir, ("part",))
+    # Round-7: the per-group quantity total sums integer HUNDREDTHS as BIGINT (the
+    # money_sum_fast form — l_quantity is a raw <=2-decimal column, so floor(q*100+0.5)
+    # == CAST(q AS DECIMAL(6,2)) exactly); the lag/comparison ride the longs and the
+    # decimal conversion happens once per surviving row (3.59 -> 2.80 s at sf10,
+    # 1.57x DuckDB). A denormalized lineitem+o_orderdate bucketed artifact was
+    # prototyped and REJECTED: it buys only 0.11 s more (2.69 s) because the part
+    # probe + (yr,brand) agg — not the merge join — dominate; not worth a third
+    # 60M-row layout (BASELINE.md §4).
     y = (
         li.where(F.col("l_returnflag").isNotNull())
         .select("l_orderkey", "l_partkey", "l_quantity")
@@ -652,13 +672,15 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.year("o_orderdate").cast("int").alias("yr"), F.col("p_brand").alias("brand")
         )
-        .agg(F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("tot"))
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias("s"))
     )
     w = Window.partitionBy("brand").orderBy("yr")
-    d = y.select("brand", "yr", "tot", F.lag("tot").over(w).alias("prev"))
-    return d.where(F.col("prev").isNotNull() & (F.col("tot") < F.col("prev"))).select(
+    d = y.select("brand", "yr", "s", F.lag("s").over(w).alias("ps"))
+    tot = F.col("s").cast("decimal(38,2)") / F.lit(100)
+    prev = F.col("ps").cast("decimal(38,2)") / F.lit(100)
+    return d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps"))).select(
         "brand", "yr",
-        money(F.col("prev"), "prev_qty"),
-        money(F.col("tot"), "cur_qty"),
-        money(F.col("tot") - F.col("prev"), "delta"),
+        money(prev, "prev_qty"),
+        money(tot, "cur_qty"),
+        money(tot - prev, "delta"),
     )

@@ -211,9 +211,21 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    return (
-        li.join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+    # Probe placement (round-7): the customer probe moves INTO the orders side BEFORE
+    # the merge join — 15M probes instead of 60M (the broadcast join preserves the
+    # bucketed partitioning, so the SMJ stays exchange-free), and the join's output
+    # already carries c_nationkey. Decomposition at sf10: scans 0.46+0.18 s, SMJ +0.16,
+    # probes+agg the rest — the probes were the cost, not the join (2.30 -> 1.74 s).
+    # Denormalized lineitem⋈orders artifact prototyped and REJECTED: 2.05 s (the scan
+    # of the wider table costs what the merge join costs — BASELINE.md §4).
+    o_f = (
+        orders.select("o_orderkey", "o_custkey")
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o_f.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")

@@ -106,7 +106,8 @@ def test_q20_graded_agg_is_exchange_free(spark):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
-def test_q30_graded_fact_join_is_exchange_free(spark):
+def test_q30_graded_fact_join_is_exchange_free(spark, monkeypatch):
+    monkeypatch.setenv("RUBIX_Q30_LAYOUT_MIN_ROWS", "0")  # force the big-SF layout branch
     plan = _pinned_smj_plan(spark, "q30_yoy_delta")
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
