@@ -287,9 +287,21 @@ def s6_stream_durable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lie in a benchmark). Accumulation is bounded by sweeping prior runs' dirs here
     # instead of paying a localCheckpoint job to allow same-run cleanup (r6: the
     # returned frame now reads the durable sink lazily, which is also the honest
-    # "result served from the sink" shape).
+    # "result served from the sink" shape). Age-gated (ADVICE r6): the root is shared,
+    # and concurrent sessions run s6 too — only dirs past the grace window are swept,
+    # so an active run's checkpoint/sink (or a frame a caller still holds from a
+    # recent run) is never deleted underneath it.
+    import time as _time
+
+    grace_s = int(os.environ.get("RUBIX_STREAM_SWEEP_GRACE_S", 600))
     root = os.path.join(tempfile.gettempdir(), "rubix_spark_stream")
+    now = _time.time()
     for stale in glob.glob(os.path.join(root, "*")):
+        try:
+            if now - os.path.getmtime(stale) < grace_s:
+                continue
+        except OSError:
+            continue
         shutil.rmtree(stale, ignore_errors=True)
     base = os.path.join(root, uuid.uuid4().hex[:12])
     out_dir, ckpt_dir = os.path.join(base, "out"), os.path.join(base, "ckpt")
@@ -297,17 +309,22 @@ def s6_stream_durable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         # complete-mode batches carry the full current result — overwrite makes the
-        # sink idempotent under retries (the foreachBatch exactly-once recipe)
+        # sink idempotent under retries (the foreachBatch exactly-once recipe).
+        # NOT coalesce(1): the complete-mode output is computed by the same tasks that
+        # read the state stores, so collapsing to one task serializes the state
+        # read-back (A/B-measured +0.3 s, not a commit saving).
         bdf.write.mode("overwrite").parquet(out_dir)
 
     with _shuffle_conf_lock:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(_stream_partitions(sf_dir)))
         try:
+            # ONE planned stream reused by both starts (the logical plan is immutable;
+            # each start() materializes a fresh query against the same checkpoint)
+            plan = sliding_counts(read_events_stream(spark, sf_dir))
             for _ in range(2):  # second start = checkpoint restart with no new input
                 q = (
-                    sliding_counts(read_events_stream(spark, sf_dir))
-                    .writeStream.foreachBatch(write_batch)
+                    plan.writeStream.foreachBatch(write_batch)
                     .option("checkpointLocation", ckpt_dir)
                     .outputMode("complete")
                     .trigger(availableNow=True)
