@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rubix_spark import catalog
-from rubix_spark.fns import dec, duck_sum2, money
+from rubix_spark.fns import dec, duck_round, duck_sum2, money
 from rubix_spark.queries import register
 
 
@@ -264,6 +264,143 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         rows, "o_orderstatus string, o_orderpriority string, gid int, cnt bigint, total double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q32 cross-channel ratio report (TPC-DS query78 class)
+# ---------------------------------------------------------------------------
+_Q32_CHANNEL_CTE = """
+    {name} AS (
+        SELECT yr, l_partkey AS item, o_custkey AS cust,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS {name}_q,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS {name}_p
+        FROM base LEFT JOIN r ON l_orderkey = rk AND l_partkey = rp
+        WHERE rk IS NULL AND l_returnflag <> 'R' AND l_linenumber % 3 = {ch}
+        GROUP BY 1, 2, 3
+    )
+"""
+
+_Q32_ORACLE = f"""
+    WITH r AS (
+        SELECT DISTINCT l_orderkey AS rk, l_partkey AS rp FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    base AS (
+        SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+               l.l_extendedprice, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr, o.o_custkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+    ),
+    {_Q32_CHANNEL_CTE.format(name="ss", ch=0)},
+    {_Q32_CHANNEL_CTE.format(name="ws", ch=1)},
+    {_Q32_CHANNEL_CTE.format(name="cs", ch=2)}
+    SELECT ss.yr, ss.item, ss.cust,
+           {duck_round('ss.ss_q')} AS ss_qty, {duck_round('ss.ss_p')} AS ss_sp,
+           {duck_round('ws.ws_q')} AS ws_qty, {duck_round('cs.cs_q')} AS cs_qty,
+           {duck_round('COALESCE(ws.ws_q, 0) + COALESCE(cs.cs_q, 0)')} AS other_qty,
+           {duck_round('COALESCE(ws.ws_p, 0) + COALESCE(cs.cs_p, 0)')} AS other_sp,
+           FLOOR(CAST(ss.ss_q AS DOUBLE) / CAST(COALESCE(ws.ws_q + cs.cs_q, 1) AS DOUBLE)
+                 * 100 + 0.5) / 100.0 AS ratio
+    FROM ss
+    LEFT JOIN ws ON ws.yr = ss.yr AND ws.item = ss.item AND ws.cust = ss.cust
+    LEFT JOIN cs ON cs.yr = ss.yr AND cs.item = ss.item AND cs.cust = ss.cust
+    WHERE COALESCE(ws.ws_q, 0) > 0 AND COALESCE(cs.cs_q, 0) > 0 AND ss.yr = 1995
+    ORDER BY ss.yr, ss.item, ss.cust
+    LIMIT 100
+"""
+
+
+@register(
+    "q32_cross_channel",
+    _Q32_ORACLE,
+    doc=(
+        "Cross-channel ratio report (TPC-DS query78 class — "
+        "rubix-stress/queries/query78.sql: three channel CTEs each LEFT-JOIN-null-"
+        "excluding its returns, recombined by LEFT JOINs on (year, item, customer) "
+        "with a store-vs-other-channels ratio). Channels = l_linenumber mod 3 over "
+        "lineitem; returns = the 'R'-flag rows keyed by (orderkey, partkey). The "
+        "engine does NOT run the oracle's 3-CTE + 2-outer-join plan: one co-located "
+        "scan-join (orderkey buckets) feeds a (orderkey, partkey) aggregate that "
+        "computes per-channel conditional sums AND the returns flag together — "
+        "aggregation accepts subset partitioning, so this first grouping is "
+        "exchange-free over the layout — then one (item, cust) re-aggregate replaces "
+        "both outer joins (per-channel sums land as columns; the oracle's "
+        "ws>0 AND cs>0 filter makes the outer joins inner). Exactly ONE wide "
+        "exchange for the whole query78 shape."
+    ),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.sources.bucketing import bucketed_table
+
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    o = (
+        orders
+        # range predicates (pushed to the scan) ≡ the oracle's EXTRACT(year)=1995
+        # (final filter + equi-join on yr confine every channel to that year)
+        .where(
+            F.col("o_custkey").isNotNull()
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    base = (
+        li.where(F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
+                "l_quantity", "l_extendedprice")
+        .join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    qL = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    pL = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    sale = F.col("l_returnflag") != F.lit("R")
+    ch = F.col("l_linenumber") % 3
+
+    def chan(name: str, i: int, expr):
+        return F.sum(F.when(sale & (ch == i), expr)).alias(name)
+
+    g1 = (
+        base.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.max("o_custkey").alias("cust"),  # constant within the order
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
+            chan("ss_q", 0, qL), chan("ss_p", 0, pL),
+            chan("ws_q", 1, qL), chan("ws_p", 1, pL),
+            chan("cs_q", 2, qL), chan("cs_p", 2, pL),
+        )
+        .where(F.col("has_r") == 0)  # the CTEs' LEFT JOIN returns ... WHERE IS NULL
+    )
+    g2 = g1.groupBy(F.col("l_partkey").alias("item"), "cust").agg(
+        *[F.sum(c).alias(c) for c in ("ss_q", "ss_p", "ws_q", "ws_p", "cs_q", "cs_p")]
+    )
+
+    def d2(col):  # long hundredths -> exact decimal -> double output
+        return (col.cast("decimal(38,2)") / F.lit(100)).cast("double")
+
+    from rubix_spark.fns import round_det
+
+    other_q = F.coalesce(F.col("ws_q"), F.lit(0)) + F.coalesce(F.col("cs_q"), F.lit(0))
+    other_p = F.coalesce(F.col("ws_p"), F.lit(0)) + F.coalesce(F.col("cs_p"), F.lit(0))
+    return (
+        g2.where(
+            F.col("ss_q").isNotNull()
+            & (F.coalesce(F.col("ws_q"), F.lit(0)) > 0)
+            & (F.coalesce(F.col("cs_q"), F.lit(0)) > 0)
+        )
+        .select(
+            F.lit(1995).cast("int").alias("yr"), "item", "cust",
+            round_det(d2(F.col("ss_q"))).alias("ss_qty"),
+            round_det(d2(F.col("ss_p"))).alias("ss_sp"),
+            round_det(d2(F.col("ws_q"))).alias("ws_qty"),
+            round_det(d2(F.col("cs_q"))).alias("cs_qty"),
+            round_det(d2(other_q)).alias("other_qty"),
+            round_det(d2(other_p)).alias("other_sp"),
+            round_det(
+                d2(F.col("ss_q")) / d2(F.coalesce(F.col("ws_q") + F.col("cs_q"), F.lit(100)))
+            ).alias("ratio"),
+        )
+        .orderBy("yr", "item", "cust")
+        .limit(100)
     )
 
 

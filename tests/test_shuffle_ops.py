@@ -113,6 +113,18 @@ def test_q30_graded_fact_join_is_exchange_free(spark, monkeypatch):
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
 
 
+def test_q32_query78_shape_has_one_exchange(spark):
+    """The query78-class cross-channel report: the (orderkey, partkey) conditional
+    aggregate rides the orderkey buckets (aggregation accepts subset partitioning —
+    no exchange), the co-located SMJ feeds it, and the only wide shuffle is the final
+    (item, cust) re-aggregate that replaces the oracle's two outer joins."""
+    plan = _pinned_smj_plan(spark, "q32_cross_channel")
+    assert "SortMergeJoin" in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, plan
+    assert "l_partkey" in exchanges[0] and "cust" in exchanges[0], plan
+
+
 def test_incremental_neardup_corpus_side_has_no_exchange(spark):
     """The daily-crawl promise: with the corpus band index persisted bucketed by the
     band key, the batch-vs-corpus join shuffles ONLY the batch — exactly one
