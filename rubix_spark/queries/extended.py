@@ -272,7 +272,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _Q32_CHANNEL_CTE = """
     {name} AS (
-        SELECT yr, l_partkey AS item, o_custkey AS cust,
+        SELECT yr, p_brand AS item, o_custkey AS cust,
                SUM(CAST(l_quantity AS DECIMAL(18,2))) AS {name}_q,
                SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS {name}_p
         FROM base LEFT JOIN r ON l_orderkey = rk AND l_partkey = rp
@@ -287,9 +287,11 @@ _Q32_ORACLE = f"""
     ),
     base AS (
         SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
-               l.l_extendedprice, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr, o.o_custkey
+               l.l_extendedprice, p.p_brand,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr, o.o_custkey
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+                        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE o.o_custkey IS NOT NULL
     ),
     {_Q32_CHANNEL_CTE.format(name="ss", ch=0)},
     {_Q32_CHANNEL_CTE.format(name="ws", ch=1)},
@@ -318,7 +320,9 @@ _Q32_ORACLE = f"""
         "rubix-stress/queries/query78.sql: three channel CTEs each LEFT-JOIN-null-"
         "excluding its returns, recombined by LEFT JOINs on (year, item, customer) "
         "with a store-vs-other-channels ratio). Channels = l_linenumber mod 3 over "
-        "lineitem; returns = the 'R'-flag rows keyed by (orderkey, partkey). The "
+        "lineitem, item = p_brand (brand-level report — the fixture's part space is "
+        "too sparse for per-part cross-channel overlap); returns = the 'R'-flag rows "
+        "keyed by (orderkey, partkey). The "
         "engine does NOT run the oracle's 3-CTE + 2-outer-join plan: one co-located "
         "scan-join (orderkey buckets) feeds a (orderkey, partkey) aggregate that "
         "computes per-channel conditional sums AND the returns flag together — "
@@ -345,11 +349,18 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey")
     )
+    # NULL-brand guard (the q13/q5 ADVICE class): the oracle's equi-joins on item
+    # silently drop NULL-brand groups; the conditional agg would keep them
+    part = (
+        catalog.table(spark, sf_dir, "part")
+        .where(F.col("p_brand").isNotNull())
+        .select("p_partkey", "p_brand")
+    )
     base = (
-        li.where(F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
-                "l_quantity", "l_extendedprice")
+        li.select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
+                  "l_quantity", "l_extendedprice")
         .join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     )
     qL = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     pL = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
@@ -363,6 +374,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.groupBy("l_orderkey", "l_partkey")
         .agg(
             F.max("o_custkey").alias("cust"),  # constant within the order
+            F.max("p_brand").alias("item"),  # constant within the part
             F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
             chan("ss_q", 0, qL), chan("ss_p", 0, pL),
             chan("ws_q", 1, qL), chan("ws_p", 1, pL),
@@ -370,7 +382,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("has_r") == 0)  # the CTEs' LEFT JOIN returns ... WHERE IS NULL
     )
-    g2 = g1.groupBy(F.col("l_partkey").alias("item"), "cust").agg(
+    g2 = g1.groupBy("item", "cust").agg(
         *[F.sum(c).alias(c) for c in ("ss_q", "ss_p", "ws_q", "ws_p", "cs_q", "cs_p")]
     )
 

@@ -120,9 +120,9 @@ def test_q32_query78_shape_has_one_exchange(spark):
     (item, cust) re-aggregate that replaces the oracle's two outer joins."""
     plan = _pinned_smj_plan(spark, "q32_cross_channel")
     assert "SortMergeJoin" in plan, plan
-    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) == 1, plan
-    assert "l_partkey" in exchanges[0] and "cust" in exchanges[0], plan
+    assert "item" in exchanges[0] and "cust" in exchanges[0], plan
 
 
 def test_incremental_neardup_corpus_side_has_no_exchange(spark):
