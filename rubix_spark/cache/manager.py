@@ -116,9 +116,20 @@ class CacheManager:
         # local dir), so a memoized entry can never serve stale or relocated data —
         # the in-memory-metadata pattern of the reference's BookKeeper cache.
         self._df_memo: dict[tuple[str, int], DataFrame] = {}
-        # two-phase delete state (see _defer_delete): [(unlink_after_ts, path), ...]
+        # two-phase delete state (see _defer_delete): [(unlink_after_ts, path), ...].
+        # Expired trash is drained opportunistically on read()/warm() as well as on
+        # each new deferral, and flushed at interpreter exit (weakref so the hook
+        # never pins the manager) — so an evict-then-idle manager still reclaims disk
+        # (ADVICE r6). Disk high-water mark remains budget_bytes + whatever was
+        # evicted within the last grace window; that window is the price of never
+        # unlinking under an in-flight scan.
         self._evict_grace_s = float(os.environ.get("RUBIX_CACHE_EVICT_GRACE_S", "60"))
         self._trash: list[tuple[float, str]] = []
+        import atexit
+        import weakref
+
+        _self = weakref.ref(self)
+        atexit.register(lambda: (lambda m: m.flush_trash() if m is not None else None)(_self()))
         self._counters = {
             "hits": 0,
             "misses": 0,
@@ -156,6 +167,7 @@ class CacheManager:
         """
         if not self.cacheable(remote_path) or self.dummy:
             return None
+        self._drain_trash()  # reclaim expired deferred deletes opportunistically
         mtime, size = _mtime_size(remote_path)
         gen = self.manifest.next_generation(remote_path)
         local = self._local_dir(remote_path, gen)
@@ -413,6 +425,7 @@ class CacheManager:
         CACHED+fresh → local parquet; stale → invalidate, re-warm; miss → warm inline
         (read-through, A6) or serve remote directly when warming is off / path gated.
         """
+        self._drain_trash()  # reclaim expired deferred deletes opportunistically
         entry = self.manifest.get(remote_path)
         if entry is not None and entry.state == CACHED:
             if self.ttl_seconds is not None and time.time() - entry.last_access > self.ttl_seconds:

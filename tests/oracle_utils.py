@@ -79,6 +79,40 @@ def canonical(cols, rows):
     return [cols[i] for i in order], out
 
 
+def compare_tolerant(spark_df, oracle: str, sf_dir: str, atol: float = 1e-3) -> list[str]:
+    """``compare`` with a numeric guard band (ADVICE r6, q28_tpch_q1_fast): cell pairs
+    that are both numeric pass when |delta| <= atol. For quantized-double oracles a
+    cross-engine summation-order delta (~1e-6) can flip a FLOOR(x+0.5) boundary on
+    some fixture generation — a 1-unit quantization flip is not a wrong answer, so
+    the repo gate accepts it while still failing on genuine regressions."""
+    s_pdf = spark_df.toPandas()
+    o_pdf = run_oracle(oracle, sf_dir)
+    s_cols, o_cols = list(s_pdf.columns), [c.lower() for c in o_pdf.columns]
+    if sorted(s_cols) != sorted(o_cols):
+        return [f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}"]
+    s_rows, o_rows = _rows(s_pdf), _rows(o_pdf)
+    if len(s_rows) != len(o_rows):
+        return [f"row count: spark={len(s_rows)} oracle={len(o_rows)}"]
+    _, s_can = canonical(s_cols, s_rows)
+    _, o_can = canonical(o_cols, o_rows)
+
+    def cell_ok(a, b) -> bool:
+        if a == b:
+            return True
+        try:  # canonical floats are repr() strings; ints pass through
+            return abs(float(a) - float(b)) <= atol
+        except (TypeError, ValueError):
+            return False
+
+    bad = [
+        (i, a, b)
+        for i, (ra, rb) in enumerate(zip(s_can, o_can))
+        for a, b in zip(ra, rb)
+        if not cell_ok(a, b)
+    ]
+    return [f"values differ beyond atol={atol}: sample={bad[:3]}"] if bad else []
+
+
 def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty → match)."""
     s_pdf = spark_df.toPandas()
