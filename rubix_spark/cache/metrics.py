@@ -6,11 +6,20 @@ The reference exposes its BookKeeper counters through pluggable reporters
 has no JMX story worth shimming from Python — so this module keeps the same shape with
 the two reporters that make sense here:
 
-- ``StatsDReporter`` — the reference's StatsD wire format verbatim
+- ``StatsDReporter``  — the reference's StatsD wire format verbatim
   (``StatsDReporter`` in BookKeeperMetrics: ``<prefix>.<name>:<value>|g`` over UDP).
   Works against any statsd/telegraf/datadog agent.
-- ``LogReporter``    — periodic human-readable line to a logger (the CachingFileSystem
-  ``ReadRequestChainStats`` log analog), for clusters with log-based metrics scraping.
+- ``GangliaReporter`` — the reference's third sink (``GangliaReporter`` in
+  BookKeeperMetrics:73-101): gmetric XDR packets (metadata msg 128 + string-value
+  msg 133, gmond protocol v3.1) over UDP unicast/multicast. No dependencies — the
+  two-packet wire format is ~40 lines of XDR.
+- ``LogReporter``     — periodic human-readable line to a logger (the
+  CachingFileSystem ``ReadRequestChainStats`` log analog), for clusters with
+  log-based metrics scraping.
+
+(The reference's remaining sink is JMX; a Python driver has no JVM MBean server to
+shim, and the pull-based in-process introspection JMX provides is served by the cache
+daemon's ``metrics`` RPC method instead — ``cache/server.py``.)
 
 Reporters pull from ``CacheManager.stats()`` (hits/misses/evictions/invalidations/
 warmed_files/fallbacks/hit_rate/cached_bytes/cached_files) on a fixed interval in a
@@ -80,6 +89,66 @@ class StatsDReporter(_PeriodicReporter):
             if isinstance(value, (int, float)):
                 payload = f"{self._prefix}.{name}:{value}|g".encode()
                 self._sock.sendto(payload, self._addr)
+
+    def stop(self) -> None:
+        super().stop()
+        self._sock.close()
+
+
+def _xdr_int(n: int) -> bytes:
+    import struct
+
+    return struct.pack("!i", int(n))
+
+
+def _xdr_str(s: str) -> bytes:
+    b = s.encode()
+    pad = (4 - len(b) % 4) % 4
+    return _xdr_int(len(b)) + b + b"\x00" * pad
+
+
+class GangliaReporter(_PeriodicReporter):
+    """gmetric-compatible Ganglia sink: for each numeric counter, a metadata packet
+    (msg id 128: host, name, type, units, slope, tmax/dmax, GROUP extra) followed by
+    a string-value packet (msg id 133, format "%s") — the gmond 3.1 XDR wire format,
+    accepted by gmond over unicast or the 239.2.11.71:8649 multicast default."""
+
+    def __init__(
+        self,
+        stats_fn: Callable[[], dict],
+        host: str = "239.2.11.71",
+        port: int = 8649,
+        prefix: str = "rubix_spark.cache",
+        group: str = "rubix_spark",
+        interval: float = 10.0,
+    ):
+        super().__init__(stats_fn, interval)
+        self._addr = (host, port)
+        self._prefix = prefix
+        self._group = group
+        self._host = socket.gethostname()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def _packets(self, name: str, value) -> tuple[bytes, bytes]:
+        full = f"{self._prefix}.{name}"
+        meta = (
+            _xdr_int(128) + _xdr_str(self._host) + _xdr_str(full) + _xdr_int(0)
+            + _xdr_str("double") + _xdr_str(full) + _xdr_str("")  # type, name, units
+            + _xdr_int(3) + _xdr_int(int(self._interval * 6)) + _xdr_int(0)  # slope=both, tmax, dmax
+            + _xdr_int(1) + _xdr_str("GROUP") + _xdr_str(self._group)
+        )
+        val = (
+            _xdr_int(133) + _xdr_str(self._host) + _xdr_str(full) + _xdr_int(0)
+            + _xdr_str("%s") + _xdr_str(repr(float(value)))
+        )
+        return meta, val
+
+    def emit(self, stats: dict) -> None:
+        for name, value in stats.items():
+            if isinstance(value, (int, float)):
+                meta, val = self._packets(name, value)
+                self._sock.sendto(meta, self._addr)
+                self._sock.sendto(val, self._addr)
 
     def stop(self) -> None:
         super().stop()

@@ -7,7 +7,7 @@ import logging
 import socket
 import time
 
-from rubix_spark.cache.metrics import LogReporter, StatsDReporter
+from rubix_spark.cache.metrics import GangliaReporter, LogReporter, StatsDReporter
 
 
 def _stats():
@@ -29,6 +29,52 @@ def test_statsd_wire_format():
         "t.cache.misses:1|g",
         "t.cache.hit_rate:0.75|g",
         "t.cache.cached_bytes:4096|g",
+    }
+    rep.stop()
+    recv.close()
+
+
+def test_ganglia_wire_format():
+    """gmond 3.1 XDR: each numeric metric arrives as a metadata packet (msg 128,
+    declaring type double + GROUP extra) followed by a string-value packet (msg 133,
+    '%s' format); XDR strings are length-prefixed and 4-byte padded."""
+    import struct
+
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(2.0)
+    port = recv.getsockname()[1]
+    rep = GangliaReporter(_stats, host="127.0.0.1", port=port, prefix="t.cache", group="tg")
+    rep.report_once()
+
+    def xdr_str(buf, off):
+        (n,) = struct.unpack_from("!i", buf, off)
+        s = buf[off + 4 : off + 4 + n].decode()
+        return s, off + 4 + n + ((4 - n % 4) % 4)
+
+    seen = {}
+    for _ in range(8):  # 4 numeric metrics x (meta + value); the string one skipped
+        pkt = recv.recv(2048)
+        (msg,) = struct.unpack_from("!i", pkt, 0)
+        host, off = xdr_str(pkt, 4)
+        name, off = xdr_str(pkt, off)
+        (spoof,) = struct.unpack_from("!i", pkt, off)
+        off += 4
+        assert spoof == 0
+        if msg == 128:
+            mtype, off = xdr_str(pkt, off)
+            assert mtype == "double"
+            seen.setdefault(name, set()).add("meta")
+        else:
+            assert msg == 133
+            fmt, off = xdr_str(pkt, off)
+            assert fmt == "%s"
+            val, off = xdr_str(pkt, off)
+            float(val)  # parseable numeric payload
+            seen.setdefault(name, set()).add("value")
+    assert seen == {
+        f"t.cache.{m}": {"meta", "value"}
+        for m in ("hits", "misses", "hit_rate", "cached_bytes")
     }
     rep.stop()
     recv.close()
