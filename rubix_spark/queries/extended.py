@@ -494,14 +494,16 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "TPC-H Q1 proper (the canonical pricing-summary report): 6 aggregates + 2 "
         "averages per (returnflag, linestatus); single scan, partial+final agg, shuffle "
-        "of 6 groups regardless of SF. Decimal widths are sized so every SUM stays on "
-        "Spark's LONG-backed decimal fast path (input precision + 10 <= 18): quantities "
-        "are exact in DECIMAL(6,2), discounts in DECIMAL(6,4), and price-class values "
-        "are floor-rounded to cents then summed as DECIMAL(8,2) — the money sums are "
-        "cent-granular by construction, deterministic in both engines, and 1.8x faster "
-        "than the DECIMAL(18,4) 128-bit path (measured at sf10). Scale dial: the "
-        "DECIMAL(18,2) sum saturates near 2.6e11 rows per group; beyond that widen the "
-        "per-row cast back to (18,4) and pay the 128-bit path."
+        "of 6 groups regardless of SF. Round-7: every exact sum rides PLAIN BIGINT "
+        "(integer cents for the price classes, hundredths for quantity, "
+        "ten-thousandths for discount — floor-quantized per row exactly as the "
+        "oracle's per-row DECIMAL casts quantize, summed as longs, converted to "
+        "decimal once per group). Bit-identical to the decimal sums and without the "
+        "per-row double->BigDecimal cast that made the decimal path the row's cost "
+        "(the money_sum_fast economics, measured 4x on the aggregate at sf10; "
+        "3.0 -> ~1.3 s). Scale dial: long capacity is 9.2e18 cent-units per group "
+        "(9.2e16 dollars) — past that, fall back to the DECIMAL(18,4) 128-bit path "
+        "(docs/SCALE.md)."
     ),
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,19 +513,23 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
 
-    def cents(col: F.Column) -> F.Column:  # deterministic cent round -> long-backed sum
-        return (F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)).cast("decimal(8,2)")
+    def units(col: F.Column, m: int) -> F.Column:  # exact integer units of 1/m
+        return F.sum(F.floor(col * m + F.lit(0.5)).cast("long"))
+
+    def dollars(sum_long: F.Column, m: int, alias: str, nd: int = 2) -> F.Column:
+        return round_det(sum_long.cast("decimal(38,4)") / F.lit(m), nd).alias(alias)
 
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
-    qty = F.col("l_quantity").cast("decimal(6,2)")
+    qty_s = units(F.col("l_quantity"), 100)
+    disc_s = units(F.col("l_discount"), 10000)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        money(F.sum(qty), "sum_qty"),
-        money(F.sum(cents(F.col("l_extendedprice"))), "sum_base_price"),
-        money(F.sum(cents(disc_price)), "sum_disc_price"),
-        money(F.sum(cents(charge)), "sum_charge"),
-        round_det(F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
-        round_det(F.sum(F.col("l_discount").cast("decimal(6,4)")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        dollars(qty_s, 100, "sum_qty"),
+        dollars(units(F.col("l_extendedprice"), 100), 100, "sum_base_price"),
+        dollars(units(disc_price, 100), 100, "sum_disc_price"),
+        dollars(units(charge, 100), 100, "sum_charge"),
+        round_det((qty_s.cast("decimal(38,2)") / F.lit(100)).cast("double") / F.count("*")).alias("avg_qty"),
+        round_det((disc_s.cast("decimal(38,4)") / F.lit(10000)).cast("double") / F.count("*"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
