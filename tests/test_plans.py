@@ -64,12 +64,18 @@ def test_semi_and_anti_joins(spark):
     assert "LeftAnti" in _plan(spark, "q8_anti_join")
 
 
-def test_range_join_is_bucketized_equi_join(spark):
-    """X7 range join must compile to a hash equi-join on (user, bucket) with a residual
-    time filter — an inequality-only join would be a per-user nested loop."""
+def test_range_join_is_single_exchange_window(spark):
+    """X7 range join (round-7): ONE hash exchange on user_id feeding a RANGE-frame
+    window — no self-join, no row fan-out, no nested loop. The bucketized equi-join
+    form survives as x7_range_join_bucketed (hot-user escape hatch)."""
     plan = _plan(spark, "x7_range_join")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "bucket" in plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1 and "user_id" in exchanges[0], plan
+    bplan = _plan(spark, "x7_range_join_bucketed")
+    assert "CartesianProduct" not in bplan and "BroadcastNestedLoopJoin" not in bplan
+    assert "bucket" in bplan
 
 
 def test_asof_join_is_pure_jvm_single_shuffle(spark):
