@@ -58,8 +58,12 @@ def money_sum_fast(col: Column | str, alias: str, scale: int = 4) -> Column:
     measured 4x on the aggregate at sf10), then convert to decimal ONCE on the final
     row before the money rounding. Bit-identical to money(F.sum(dec(col))) for RAW
     data columns whose doubles carry <= ``scale`` decimals (the same contract dec()
-    already relies on); computed expressions keep using dec_det. Long capacity: 9.2e18
-    ten-thousandths = 9.2e14 in money units per group — far past any fixture SF."""
+    already relies on), AND to money(F.sum(dec_det(expr))) for COMPUTED expressions
+    whose oracle quantizes per row with the same FLOOR(expr*10^scale+0.5) form (the
+    floored double is an exact integer, so both engines' decimal is exactly L/10^scale
+    and the long sum telescopes identically — the late-round-7 q28 rewrite). Long
+    capacity: 9.2e18 ten-thousandths = 9.2e14 in money units per group — far past any
+    fixture SF."""
     c = F.col(col) if isinstance(col, str) else col
     m = 10**scale
     s = F.sum(F.floor(c * m + F.lit(0.5)).cast("long"))

@@ -60,7 +60,7 @@ def q4_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
-        .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
+        .agg(money_sum_fast(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
     )
 
 

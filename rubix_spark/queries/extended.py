@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rubix_spark import catalog
-from rubix_spark.fns import dec, duck_round, duck_sum2, money
+from rubix_spark.fns import dec, duck_round, duck_sum2, money, money_sum_fast
 from rubix_spark.queries import register
 
 
@@ -33,7 +33,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("cnt"),
-            money(F.sum(dec("l_extendedprice")), "rev"),
+            money_sum_fast("l_extendedprice", "rev"),
             F.max("p_retailprice").alias("max_retail"),
         )
     )
@@ -71,7 +71,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(F.year("o_orderdate").alias("y"), F.quarter("o_orderdate").alias("q"), "o_totalprice")
         .rollup("y", "q")
-        .agg(F.count("*").alias("cnt"), money(F.sum(dec("o_totalprice")), "total"))
+        .agg(F.count("*").alias("cnt"), money_sum_fast("o_totalprice", "total"))
     )
 
 
@@ -195,7 +195,7 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = catalog.table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("cnt"), money(F.sum(dec("o_totalprice")), "total")
+        F.count("*").alias("cnt"), money_sum_fast("o_totalprice", "total")
     )
 
 
@@ -616,23 +616,28 @@ def q28_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def x10_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import round_det
+
     ev = catalog.table(spark, sf_dir, "events")
+    # long ten-thousandths through the whole cascade (the money_sum_fast form): the
+    # raw-value quantization is exact at every level because long re-aggregation is
+    # plain addition; one decimal conversion on the final ~days-sized output
     minute = ev.groupBy(F.date_trunc("minute", "ts").alias("mb")).agg(
-        F.count("*").alias("n"), F.sum(dec("value")).alias("v")
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias("v"),
     )
     hour = minute.groupBy(F.date_trunc("hour", "mb").alias("hb")).agg(
         F.sum("n").alias("n"), F.sum("v").alias("v")
     )
     return hour.groupBy(F.to_date(F.date_trunc("day", "hb")).alias("day")).agg(
         F.sum("n").alias("n_events"),
-        money(F.sum("v"), "total_v"),
+        round_det(F.sum("v").cast("decimal(38,4)") / F.lit(10000), 2).alias("total_v"),
         F.count("*").alias("active_hours"),
     )
 
 
 def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q29 CTE, pre-checkpoint (exposed so plan tests can assert its join strategy)."""
-    from rubix_spark.fns import dec_det
     from rubix_spark.sources.bucketing import bucketed_table
 
     t = catalog.load(spark, sf_dir, ("customer", "nation", "region", "supplier"))
@@ -664,7 +669,10 @@ def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("c_custkey"), F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
-        .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "rev"))
+        # long ten-thousandths over the ~36M-row (sf10) post-join stream — the oracle's
+        # per-row FLOOR quantization makes the long sum bit-identical to the decimal
+        # sum, without a BigDecimal cast per row (the q28/q4 lesson)
+        .agg(money_sum_fast(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "rev"))
     )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rubix_spark import catalog
-from rubix_spark.fns import dec, dec_det, duck_round, duck_sum2, money, round_det
+from rubix_spark.fns import dec, dec_det, duck_round, duck_sum2, money, money_sum_fast, round_det
 from rubix_spark.queries import register
 
 
@@ -229,7 +229,10 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
-        .agg(money(F.sum(dec_det(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))), "revenue"))
+        # long ten-thousandths (money_sum_fast on the computed product — the oracle
+        # quantizes per row with the same FLOOR form, so the long sum is bit-identical
+        # to the decimal sum without the per-row BigDecimal cast; the q28 lesson)
+        .agg(money_sum_fast(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
     )
 
 
@@ -255,8 +258,9 @@ _Q4_SPARK_SQL = """
         FROM supplier s JOIN nr ON s_nationkey = nr.n_nationkey
     )
     SELECT /*+ BROADCAST(ca, sa) */ n_name,
-           FLOOR(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D) / 10000.0D
-                               AS DECIMAL(18,4))) AS DOUBLE) * 100.0D + 0.5D) / 100.0D AS revenue
+           FLOOR(CAST(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D)
+                                    AS BIGINT)) AS DECIMAL(38,4)) / 10000 AS DOUBLE)
+                 * 100.0D + 0.5D) / 100.0D AS revenue
     FROM lineitem l
     JOIN orders o ON l_orderkey = o_orderkey
     JOIN ca       ON c_custkey = o_custkey
