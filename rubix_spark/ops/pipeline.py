@@ -439,14 +439,16 @@ def _ntok_df(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] = ()) -> Da
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            out = pdf[keep].copy()
-            out["n_tok"] = pc.count_substring_regex(
-                pa.Array.from_pandas(pdf["text"]), "[A-Za-z0-9]+"
-            ).to_pandas()
-            yield out
+        # mapInArrow: text never round-trips through pandas (measured ~10% of the stage)
+        for b in batches:
+            n_tok = pc.cast(
+                pc.count_substring_regex(b.column("text"), "[A-Za-z0-9]+"), pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(c) for c in keep] + [n_tok], keep + ["n_tok"]
+            )
 
-    return docs.mapInPandas(counts, f"{schema}, n_tok int")
+    return docs.mapInArrow(counts, f"{schema}, n_tok int")
 
 
 

@@ -198,10 +198,14 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Semantics preserved exactly:
     - n_tok  == size(tokens(text)): count of [A-Za-z0-9]+ runs;
-    - stops  counted on the normalized string (punct→space, lowered), where \\b
-      boundaries coincide with token boundaries because only [a-z0-9 ] remains;
+    - stops  counted case-insensitively on the punct→space-normalized string, where
+      \\b boundaries coincide with token boundaries because only [a-zA-Z0-9 ] remains
+      ((?i) replaces the former utf8_lower pass — one fewer full-corpus string copy);
     - punct  == count of chars matching [^a-z0-9 ] (the length-difference trick, one
       regex count here).
+
+    mapInArrow, not mapInPandas: the text column stays an Arrow array end-to-end
+    (the pandas conversion round trip was a measured ~10% of the whole kernel stage).
     """
     docs = catalog.table(spark, sf_dir, "documents").select("source", "text")
 
@@ -209,21 +213,26 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            text = pa.Array.from_pandas(pdf["text"])
+        for b in batches:
+            text = b.column("text")
             n_tok = pc.count_substring_regex(text, "[A-Za-z0-9]+")
-            norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
-            stops = pc.count_substring_regex(norm, r"\b(?:the|a|of|and|to|in)\b")
+            norm = pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " ")
+            stops = pc.count_substring_regex(norm, r"(?i)\b(?:the|a|of|and|to|in)\b")
             punct = pc.count_substring_regex(text, "[^a-z0-9 ]")
             length = pc.utf8_length(text)
-            out = pdf[["source"]].copy()
-            out["n_tok"] = n_tok.to_pandas()
-            nt = out["n_tok"].astype("float64")
-            out["stop_ratio"] = stops.to_pandas() / nt.where(nt != 0)
-            out["punct_ratio"] = punct.to_pandas() / length.to_pandas()
-            yield out
+            nt = pc.cast(n_tok, pa.float64())
+            nt = pc.if_else(pc.equal(nt, 0.0), pa.scalar(None, pa.float64()), nt)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("source"),
+                    pc.cast(n_tok, pa.int32()),
+                    pc.divide(pc.cast(stops, pa.float64()), nt),
+                    pc.divide(pc.cast(punct, pa.float64()), pc.cast(length, pa.float64())),
+                ],
+                ["source", "n_tok", "stop_ratio", "punct_ratio"],
+            )
 
-    per = docs.mapInPandas(
+    per = docs.mapInArrow(
         per_doc, "source string, n_tok int, stop_ratio double, punct_ratio double"
     )
     return _quality_rollup(per)

@@ -103,8 +103,12 @@ def q13_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_b1 = F.col("o_totalprice").between(0, 50000)
     in_b2 = F.col("o_totalprice") > 50000
 
+    # same long-unit aggregate expression as the graded row, so the ablation delta
+    # attributes to the layout alone
+    unitp = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
+
     def cond_avg(cond, alias):
-        s = F.sum(F.when(cond, dec("o_totalprice"))).cast("double")
+        s = (F.sum(F.when(cond, unitp)).cast("decimal(38,4)") / F.lit(10000)).cast("double")
         c = F.count(F.when(cond, F.lit(1)))
         return round_det(s / F.nullif(c, F.lit(0))).alias(alias)
 

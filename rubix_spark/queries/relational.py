@@ -595,16 +595,21 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     in_b1 = F.col("o_totalprice").between(0, 50000)
     in_b2 = F.col("o_totalprice") > 50000
+    # long ten-thousandths in the per-customer pass (the money_sum_fast row form —
+    # raw column, exact): the two conditional sums are plain long adds over 15M rows
+    # instead of BigDecimal casts; one decimal conversion on the final single row
+    unitp = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
     g = orders.groupBy("o_custkey").agg(
-        F.sum(F.when(in_b1, dec("o_totalprice"))).alias("s1"),
+        F.sum(F.when(in_b1, unitp)).alias("s1"),
         F.count(F.when(in_b1, F.lit(1))).alias("c1"),
-        F.sum(F.when(in_b2, dec("o_totalprice"))).alias("s2"),
+        F.sum(F.when(in_b2, unitp)).alias("s2"),
         F.count(F.when(in_b2, F.lit(1))).alias("c2"),
     )
 
     def final_avg(s_col, c_col, alias):
         return round_det(
-            F.sum(s_col).cast("double") / F.nullif(F.sum(c_col), F.lit(0))
+            (F.sum(s_col).cast("decimal(38,4)") / F.lit(10000)).cast("double")
+            / F.nullif(F.sum(c_col), F.lit(0))
         ).alias(alias)
 
     return g.agg(

@@ -156,11 +156,13 @@ def test_deep_cte_computed_once_with_broadcast_dims(spark):
 
 def test_arrow_kernel_text_ops_run_in_pandas_stage(spark):
     """x3_quality / x9_token_hist / x9_e2e (r4) and x3_fingerprint / x9_contamination
-    (r5): per-doc regex/shingle work must run as ONE Arrow batch stage (MapInPandas),
+    (r5): per-doc regex/shingle work must run as ONE Arrow batch stage (MapInPandas,
+    or MapInArrow where the kernel skips the pandas round trip entirely — late r7),
     not JVM regex per expression (8x at sf1, see ops/text; fingerprint 6.6x and
     contamination 29x at sf10)."""
     for name in ("x3_quality", "x9_token_hist", "x9_e2e_pipeline", "x3_fingerprint", "x9_contamination"):
-        assert "MapInPandas" in _plan(spark, name), name
+        plan = _plan(spark, name)
+        assert ("MapInPandas" in plan) or ("MapInArrow" in plan), name
 
 
 def test_e2e_dedup_shuffles_hash_not_text(spark):
