@@ -48,19 +48,24 @@ def q4_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nr.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_nationkey")
     )
+    # same narrow supplier probe + name-on-aggregate as the graded body (the ablation
+    # differs only in layout)
     supp = (
         t["supplier"]
-        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
+        .join(F.broadcast(nr.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
     )
-    return (
+    g = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy("n_name")
+        .groupBy("s_nationkey")
         .agg(money_sum_fast(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+    )
+    return g.join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "n_name", "revenue"
     )
 
 

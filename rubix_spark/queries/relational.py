@@ -206,16 +206,22 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nr.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_nationkey")
     )
+    # NARROW probe payload (late round-7): the supplier broadcast carries only
+    # (s_suppkey, s_nationkey) — materializing n_name per probe row cost ~0.2 s at
+    # sf10 on the 11.8M-row SMJ output of which only 482k survive the nationkey
+    # filter; the name attaches via a broadcast join on the 5-row AGGREGATE instead.
     supp = (
         t["supplier"]
-        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
+        .join(F.broadcast(nr.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
     )
     # Probe placement (round-7): the customer probe moves INTO the orders side BEFORE
     # the merge join — 15M probes instead of 60M (the broadcast join preserves the
     # bucketed partitioning, so the SMJ stays exchange-free), and the join's output
     # already carries c_nationkey. Decomposition at sf10: scans 0.46+0.18 s, SMJ +0.16,
     # probes+agg the rest — the probes were the cost, not the join (2.30 -> 1.74 s).
+    # Probing suppliers on the LINEITEM side pre-merge measured WORSE (60M wide probes
+    # vs 11.8M post-merge — the q29 selective-AND-narrow rule cuts the other way here).
     # Denormalized lineitem⋈orders artifact prototyped and REJECTED: 2.05 s (the scan
     # of the wider table costs what the merge join costs — BASELINE.md §4).
     o_f = (
@@ -223,16 +229,19 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
-    return (
+    g = (
         li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o_f.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy("n_name")
+        .groupBy("s_nationkey")
         # long ten-thousandths (money_sum_fast on the computed product — the oracle
         # quantizes per row with the same FLOOR form, so the long sum is bit-identical
         # to the decimal sum without the per-row BigDecimal cast; the q28 lesson)
         .agg(money_sum_fast(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+    )
+    return g.join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "n_name", "revenue"
     )
 
 
@@ -254,19 +263,23 @@ _Q4_SPARK_SQL = """
         FROM customer c JOIN nr ON c_nationkey = nr.n_nationkey
     ),
     sa AS (
-        SELECT /*+ BROADCAST(nr) */ s_suppkey, s_nationkey, n_name
+        SELECT /*+ BROADCAST(nr) */ s_suppkey, s_nationkey
         FROM supplier s JOIN nr ON s_nationkey = nr.n_nationkey
+    ),
+    g AS (
+        SELECT /*+ BROADCAST(ca, sa) */ sa.s_nationkey,
+               FLOOR(CAST(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D)
+                                        AS BIGINT)) AS DECIMAL(38,4)) / 10000 AS DOUBLE)
+                     * 100.0D + 0.5D) / 100.0D AS revenue
+        FROM lineitem l
+        JOIN orders o ON l_orderkey = o_orderkey
+        JOIN ca       ON c_custkey = o_custkey
+        JOIN sa       ON l_suppkey = sa.s_suppkey
+        WHERE ca.c_nationkey = sa.s_nationkey
+        GROUP BY sa.s_nationkey
     )
-    SELECT /*+ BROADCAST(ca, sa) */ n_name,
-           FLOOR(CAST(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D)
-                                    AS BIGINT)) AS DECIMAL(38,4)) / 10000 AS DOUBLE)
-                 * 100.0D + 0.5D) / 100.0D AS revenue
-    FROM lineitem l
-    JOIN orders o ON l_orderkey = o_orderkey
-    JOIN ca       ON c_custkey = o_custkey
-    JOIN sa       ON l_suppkey = sa.s_suppkey
-    WHERE ca.c_nationkey = sa.s_nationkey
-    GROUP BY n_name
+    SELECT /*+ BROADCAST(nr) */ n_name, revenue
+    FROM g JOIN nr ON g.s_nationkey = nr.n_nationkey
     """
 
 
