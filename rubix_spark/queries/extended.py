@@ -360,7 +360,6 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
                   "l_quantity", "l_extendedprice")
         .join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     )
     qL = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     pL = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
@@ -370,17 +369,23 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     def chan(name: str, i: int, expr):
         return F.sum(F.when(sale & (ch == i), expr)).alias(name)
 
+    # part joins AFTER the (orderkey, partkey) aggregate (the q4 narrow-probe lesson):
+    # the brand string otherwise rides through 8.6M pre-agg rows and a max() per
+    # group; probing the ~8.4M GROUP rows instead measured 2.94 -> 2.78 s at sf10.
+    # Same result: the inner join drops NULL-partkey groups post-agg exactly as the
+    # pre-agg join dropped their rows.
     g1 = (
         base.groupBy("l_orderkey", "l_partkey")
         .agg(
             F.max("o_custkey").alias("cust"),  # constant within the order
-            F.max("p_brand").alias("item"),  # constant within the part
             F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
             chan("ss_q", 0, qL), chan("ss_p", 0, pL),
             chan("ws_q", 1, qL), chan("ws_p", 1, pL),
             chan("cs_q", 2, qL), chan("cs_p", 2, pL),
         )
         .where(F.col("has_r") == 0)  # the CTEs' LEFT JOIN returns ... WHERE IS NULL
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumnRenamed("p_brand", "item")
     )
     g2 = g1.groupBy("item", "cust").agg(
         *[F.sum(c).alias(c) for c in ("ss_q", "ss_p", "ws_q", "ws_p", "cs_q", "cs_p")]
@@ -658,21 +663,28 @@ def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name")
     )
+    # NARROW probe payload (the q4 lesson): the customer broadcast carries the LONG
+    # c_nationkey, not the nation string — the string otherwise rides through 36M
+    # probe rows AND the 5.5M-group hash key; the name attaches via a broadcast join
+    # on the grouped output instead (measured 2.24 -> 2.09 s on the CTE at sf10)
     cust = (
         t["customer"]
-        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "n_name")
+        .join(F.broadcast(nr.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("c_nationkey").alias("nk"))
     )
-    return (
+    g = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.col("c_custkey"), F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .groupBy(F.col("c_custkey"), F.col("nk"), F.year("o_orderdate").alias("yr"))
         # long ten-thousandths over the ~36M-row (sf10) post-join stream — the oracle's
         # per-row FLOOR quantization makes the long sum bit-identical to the decimal
         # sum, without a BigDecimal cast per row (the q28/q4 lesson)
         .agg(money_sum_fast(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "rev"))
+    )
+    return g.join(F.broadcast(nr), F.col("nk") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("nation"), "yr", "rev"
     )
 
 
