@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rubix_spark.cache.manager import CacheManager
-from rubix_spark.fns import dec, duck_sum2, money
+from rubix_spark.fns import duck_sum2, money_sum_fast
 from rubix_spark.queries import register
 
 _managers: dict[str, CacheManager] = {}
@@ -59,7 +59,7 @@ def cached_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(money(F.sum(dec("l_extendedprice")), "rev"))
+        .agg(money_sum_fast("l_extendedprice", "rev"))
     )
 
 
@@ -77,7 +77,6 @@ def cached_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rubix_spark.catalog import ensure_session_confs
-    from rubix_spark.fns import dec, money
     from rubix_spark.sources.cached_source import register_cache_source
 
     # sets spark.sql.python.filterPushdown.enabled, without which Spark refuses to
@@ -95,5 +94,5 @@ def datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("cnt"), money(F.sum(dec("l_extendedprice")), "rev")
+        F.count("*").alias("cnt"), money_sum_fast("l_extendedprice", "rev")
     )

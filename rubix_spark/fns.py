@@ -4,11 +4,24 @@
 double (java BigDecimal.valueOf), DuckDB rounds the binary value — they disagree whenever
 the true value sits at a ``…5`` boundary (e.g. AVG hitting 152741.235).  Every float
 rounding in this engine therefore goes through ``floor(x * 10^n + 0.5) / 10^n`` — pure
-IEEE double ops that both engines evaluate bit-for-bit identically.
+IEEE double ops that both engines evaluate bit-for-bit identically *given the same input
+double* (see the envelope note on :func:`round_det`).
 
-Float *sums* are made deterministic separately, by casting to DECIMAL(18,4) per row
-before SUM (exact, associative — immune to partition/summation order), then back to
-double for the rounded output.
+Float *sums* are made deterministic separately — and, since round 8, kept OUT of double
+space entirely: every summed money output accumulates exact integer units
+(``floor(x*10^scale+0.5)`` per row, a plain BIGINT add) and is quantized to hundredths
+with INTEGER arithmetic before one final int→double conversion.  Doubles only ever carry
+per-row values and final sub-cent outputs, never a group sum — so the scheme is exact at
+any magnitude a 64-bit unit sum can reach (|s| ≤ 9.2e18 ten-thousandths = 9.2e14 money
+units per group; past that, the DECIMAL(38,4) path in docs/SCALE.md is the dial).
+
+Why the old double finalize had a cliff (round-8 foundation fix, hypothesis-found at
+|x| ≈ 9.0e11): a DECIMAL value whose scaled integer exceeds 2^53 does not convert to
+DOUBLE identically across engines — Spark/Java (BigDecimal.doubleValue) correctly rounds
+the rational, DuckDB converts the scaled int64 (rounding once) then divides by 10^scale
+(rounding again).  One tick of divergence in the input double flips ``floor(x*100+0.5)``.
+Quantizing in integer space never converts a sum to double until the value is final, and
+the single int64→double conversion both engines then perform is the same IEEE operation.
 """
 
 from __future__ import annotations
@@ -24,7 +37,16 @@ def dec(col: Column | str, scale: int = 4) -> Column:
 
 
 def round_det(col: Column, n: int = 2) -> Column:
-    """Deterministic half-up rounding of a double, identical in Spark and DuckDB."""
+    """Deterministic half-up rounding of a double, identical in Spark and DuckDB.
+
+    Contract (round-8): the IEEE ops themselves (multiply, add, floor, divide) are
+    bit-identical across engines for ANY finite double — but the result is only a
+    faithful half-up rounding while ``|x| ≤ 2^52 / 10^n`` (≈4.5e13 for n=2), where
+    ``x*10^n`` still resolves the +0.5 tick.  And the guarantee presumes both engines
+    hold the SAME input double: feeding each a >2^53-scaled-int DECIMAL (or any other
+    value the engines convert to double differently) diverges before this function
+    runs.  Summed money therefore never takes this path — see money_sum_fast /
+    avg_units_det, which quantize in integer space at any magnitude."""
     m = float(10**n)
     return F.floor(col.cast("double") * m + 0.5) / F.lit(m)
 
@@ -47,35 +69,109 @@ def duck_dec_det(expr: str, scale: int = 4) -> str:
 
 
 def money(agg: Column, alias: str) -> Column:
-    """Exact decimal aggregate -> rounded double output column."""
+    """Exact decimal aggregate -> rounded double output column.
+
+    Envelope path: the decimal→double cast is exact (hence cross-engine identical)
+    only while the scaled integer fits 2^53 — |value| ≤ 9.0e14 at scale 4 — and the
+    half-up tick resolves while |value| ≤ 4.5e13 (see round_det). Use only for small
+    or window-local decimals; group sums ride money_sum_fast instead."""
     return round_det(agg, 2).alias(alias)
 
 
+def _int_hundredths(s: Column, scale: int) -> Column:
+    """Half-up rounding of an integer unit sum (10^-scale units) to hundredths,
+    entirely in int64 space: h = floor((s + f/2) / f), f = 10^(scale-2) units per
+    hundredth. floor division is (t - pmod(t, f)) div f — pmod normalizes the
+    remainder non-negative so the truncating div IS floor for either sign (verified
+    cross-engine vs DuckDB `((t%f)+f)%f` and Python // at the int64 boundary)."""
+    f = 10 ** (scale - 2)
+    if f == 1:
+        return s
+    t = s + F.lit(f // 2).cast("long")
+    return F.call_function("div", t - F.pmod(t, F.lit(f)), F.lit(f))
+
+
 def money_sum_fast(col: Column | str, alias: str, scale: int = 4) -> Column:
-    """money(SUM(dec(col))) on the LONG fast path: sum integer ten-thousandths
-    (floor(x*10^scale+0.5) as BIGINT — exact and associative like the decimal sum,
-    but a plain long add instead of Spark's BigDecimal-string double->decimal cast,
-    measured 4x on the aggregate at sf10), then convert to decimal ONCE on the final
-    row before the money rounding. Bit-identical to money(F.sum(dec(col))) for RAW
-    data columns whose doubles carry <= ``scale`` decimals (the same contract dec()
-    already relies on), AND to money(F.sum(dec_det(expr))) for COMPUTED expressions
-    whose oracle quantizes per row with the same FLOOR(expr*10^scale+0.5) form (the
-    floored double is an exact integer, so both engines' decimal is exactly L/10^scale
-    and the long sum telescopes identically — the late-round-7 q28 rewrite). Long
-    capacity: 9.2e18 ten-thousandths = 9.2e14 in money units per group — far past any
-    fixture SF."""
+    """Summed money on the LONG fast path, quantized to hundredths in INTEGER space.
+
+    Per row: floor(x*10^scale+0.5) as BIGINT — exact and associative like a decimal
+    sum, but a plain long add instead of Spark's BigDecimal-string double->decimal
+    cast (measured 4x on the aggregate at sf10). The group sum s (exact integer
+    ten-thousandths) is rounded half-up to hundredths with integer arithmetic
+    (_int_hundredths) and converted int->double ONCE — no double ever carries the
+    sum, so the output is cross-engine exact at ANY magnitude up to the long
+    capacity (|s| ≤ 9.2e18 − f/2 units = 9.2e14 money units per group; past that,
+    the DECIMAL(38,4) 128-bit path is the dial — docs/SCALE.md). Matches a raw
+    column's decimal sum when its doubles carry ≤ ``scale`` decimals (the dec()
+    contract), and any oracle that quantizes per row with the same FLOOR form
+    (duck_sum_fast / duck_sum2 author exactly that)."""
     c = F.col(col) if isinstance(col, str) else col
     m = 10**scale
     s = F.sum(F.floor(c * m + F.lit(0.5)).cast("long"))
-    return round_det(s.cast(f"decimal(38,{scale})") / F.lit(m), 2).alias(alias)
+    return money_from_units(s, alias, scale)
+
+
+def money_from_units(s: Column, alias: str, scale: int = 4) -> Column:
+    """Integer hundredths finalize of an already-accumulated unit sum (the tail of
+    money_sum_fast, for multi-level cascades that re-sum longs across levels).
+    Oracle twin: duck_money_from_units."""
+    return (_int_hundredths(s, scale).cast("double") / F.lit(100)).alias(alias)
+
+
+def avg_units_det(s: Column, c: Column, in_scale: int, alias: str, nd: int = 2) -> Column:
+    """Exact half-up average from an integer unit sum: value = (s/10^in_scale)/c
+    rounded to ``nd`` decimals, computed as floor((2*s + f*c) / (2*f*c)) with
+    f = 10^(in_scale-nd) — pure int64 ops (pmod-normalized div, like
+    _int_hundredths), cross-engine exact at any magnitude with |2s + f*c| inside
+    int64 (|s| ≤ 4.6e18 units per group). NULL s (empty bucket) propagates.
+    Oracle twin: duck_avg_units."""
+    f = 10 ** (in_scale - nd)
+    c0 = F.nullif(c.cast("long"), F.lit(0).cast("long"))  # empty bucket -> NULL, like SQL AVG
+    num = F.lit(2).cast("long") * s + F.lit(f).cast("long") * c0
+    den = F.lit(2 * f).cast("long") * c0
+    h = F.call_function("div", num - F.pmod(num, den), den)
+    return (h.cast("double") / F.lit(float(10**nd))).alias(alias)
+
+
+def duck_avg_units(s_sql: str, c_sql: str, in_scale: int, alias: str, nd: int = 2) -> str:
+    """DuckDB SQL matching avg_units_det (HUGEINT intermediates — overflow-free)."""
+    f = 10 ** (in_scale - nd)
+    num = f"(2 * ({s_sql}) + {f} * NULLIF(({c_sql}), 0))"
+    den = f"(2 * {f} * NULLIF(({c_sql}), 0))"
+    h = f"(({num} - ((({num} % {den}) + {den}) % {den})) // {den})"
+    return f"CAST({h} AS DOUBLE) / {10**nd} AS {alias}"
+
+
+def duck_unit_sum(expr: str, scale: int = 4) -> str:
+    """DuckDB SQL: the exact integer unit sum money_sum_fast accumulates."""
+    return f"SUM(CAST(FLOOR(({expr}) * {10**scale} + 0.5) AS BIGINT))"
+
+
+def duck_money_from_units(s_sql: str, scale: int = 4) -> str:
+    """DuckDB SQL: integer half-up hundredths finalize of a unit sum (matches
+    _int_hundredths + the int->double conversion; NULL sum propagates)."""
+    f = 10 ** (scale - 2)
+    if f == 1:
+        return f"CAST(({s_sql}) AS DOUBLE) / 100"
+    t = f"(({s_sql}) + {f // 2})"
+    h = f"(({t} - ((({t} % {f}) + {f}) % {f})) // {f})"
+    return f"CAST({h} AS DOUBLE) / 100"
+
+
+def duck_sum_fast(expr: str, alias: str, scale: int = 4) -> str:
+    """DuckDB SQL matching money_sum_fast(expr, alias, scale) exactly — per-row FLOOR
+    quantization to integer units, BIGINT/HUGEINT sum, integer hundredths finalize."""
+    return f"{duck_money_from_units(duck_unit_sum(expr, scale), scale)} AS {alias}"
 
 
 def duck_round(expr: str, n: int = 2) -> str:
-    """DuckDB SQL for the same deterministic rounding."""
+    """DuckDB SQL for the same deterministic rounding (round_det's envelope applies)."""
     m = 10**n
     return f"FLOOR(CAST({expr} AS DOUBLE) * {m} + 0.5) / {m}.0"
 
 
 def duck_sum2(expr: str, alias: str) -> str:
-    """DuckDB SQL: exact decimal sum -> rounded double, matching money()."""
-    return f"{duck_round(f'SUM(CAST({expr} AS DECIMAL(18,4)))', 2)} AS {alias}"
+    """DuckDB SQL: summed money matching money_sum_fast(expr, alias) — integer
+    quantization since round 8 (was: decimal sum + double rounding, which diverges
+    past the 2^53 scaled-int envelope; see the module docstring)."""
+    return duck_sum_fast(expr, alias, 4)

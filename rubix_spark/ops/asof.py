@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rubix_spark import catalog
+from rubix_spark.fns import duck_sum_fast, money_from_units, money_sum_fast
 from rubix_spark.queries import REGISTRY, register
 
 _ASOF_ORACLE = """
@@ -168,9 +169,9 @@ _BUCKET_US = _WINDOW_US  # bucket width == window span ⇒ candidates live in 2 
 
 @register(
     "x7_range_join",
-    """
+    f"""
     SELECT p.event_id, COUNT(*) AS n_clicks,
-           FLOOR(CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS click_v
+           {duck_sum_fast("c.value", "click_v")}
     FROM events p
     JOIN events c
       ON c.user_id = p.user_id
@@ -193,12 +194,15 @@ _BUCKET_US = _WINDOW_US  # bucket width == window span ⇒ candidates live in 2 
     ),
 )
 def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rubix_spark.fns import round_det
-
     ev = catalog.table(spark, sf_dir, "events")
-    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast is lossless
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast is lossless.
+    # ts.isNotNull: Spark puts all NULL order values in ONE shared window frame, so a
+    # NULL-ts purchase would count NULL-ts clicks — the oracle's theta join and the
+    # bucketized form both drop them (ADVICE r7)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    base = ev.where(F.col("event_type").isin("click", "purchase")).select(
+    base = ev.where(
+        F.col("event_type").isin("click", "purchase") & F.col("ts").isNotNull()
+    ).select(
         "event_id", "user_id", us.alias("us"), "event_type",
         F.when(
             F.col("event_type") == "click",
@@ -217,7 +221,7 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("event_type") == "purchase") & (F.col("n_clicks") > 0))
         .select(
             "event_id", "n_clicks",
-            round_det(F.col("sv").cast("decimal(38,4)") / F.lit(10000), 2).alias("click_v"),
+            money_from_units(F.col("sv"), "click_v"),
         )
     )
 
@@ -236,8 +240,6 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rubix_spark.fns import dec, money
-
     ev = catalog.table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -255,5 +257,5 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_us") >= F.col("p_us") - _WINDOW_US) & (F.col("c_us") < F.col("p_us"))
     )
     return joined.groupBy("event_id").agg(
-        F.count("*").alias("n_clicks"), money(F.sum(dec("value")), "click_v")
+        F.count("*").alias("n_clicks"), money_sum_fast("value", "click_v")
     )

@@ -113,9 +113,10 @@ def q13_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     unitp = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
 
     def cond_avg(cond, alias):
-        s = (F.sum(F.when(cond, unitp)).cast("decimal(38,4)") / F.lit(10000)).cast("double")
-        c = F.count(F.when(cond, F.lit(1)))
-        return round_det(s / F.nullif(c, F.lit(0))).alias(alias)
+        # exact integer average (round-8, same form as the graded row — fns.avg_units_det)
+        from rubix_spark.fns import avg_units_det
+
+        return avg_units_det(F.sum(F.when(cond, unitp)), F.count(F.when(cond, F.lit(1))), 4, alias)
 
     dc = orders.select("o_custkey").distinct().agg(F.count("o_custkey").alias("dc"))
     sums = orders.agg(cond_avg(in_b1, "b1"), cond_avg(in_b2, "b2"))
@@ -190,11 +191,10 @@ def q30_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("brand").orderBy("yr")
     d = y.select("brand", "yr", "s", F.lag("s").over(w).alias("ps"))
-    tot = F.col("s").cast("decimal(38,2)") / F.lit(100)
-    prev = F.col("ps").cast("decimal(38,2)") / F.lit(100)
+    # round-8: exact hundredth longs end-to-end, one int->double per output value
     return d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps"))).select(
         "brand", "yr",
-        money(prev, "prev_qty"),
-        money(tot, "cur_qty"),
-        money(tot - prev, "delta"),
+        (F.col("ps").cast("double") / F.lit(100)).alias("prev_qty"),
+        (F.col("s").cast("double") / F.lit(100)).alias("cur_qty"),
+        ((F.col("s") - F.col("ps")).cast("double") / F.lit(100)).alias("delta"),
     )

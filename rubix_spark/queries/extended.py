@@ -11,7 +11,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rubix_spark import catalog
-from rubix_spark.fns import dec, duck_round, duck_sum2, money, money_sum_fast
+from rubix_spark.fns import (
+    avg_units_det,
+    dec,
+    duck_avg_units,
+    duck_money_from_units,
+    duck_round,
+    duck_sum2,
+    duck_sum_fast,
+    duck_unit_sum,
+    money,
+    money_sum_fast,
+)
 from rubix_spark.queries import register
 
 
@@ -244,18 +255,23 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections import defaultdict
 
     def roll(key):
-        acc = defaultdict(lambda: [0, 0])
+        # SQL SUM ignores NULL contributions and is NULL only when ALL are (ADVICE r7:
+        # an all-NULL o_totalprice group collects r.s = None)
+        acc = defaultdict(lambda: [0, None])
         for r in base:
             k = key(r)
             acc[k][0] += r.c
-            acc[k][1] += r.s
+            if r.s is not None:
+                acc[k][1] = (acc[k][1] or 0) + r.s
         return acc
 
-    def total(s: int) -> float:
-        # money(s/10000): s/10000 in double is the correctly-rounded value of the
-        # exact decimal quotient — identical to the Spark/DuckDB decimal-cast path
-        v = s / 10000
-        return math.floor(v * 100 + 0.5) / 100.0
+    def total(s: int | None) -> float | None:
+        # integer hundredths finalize (fns.money_sum_fast's form): Python // floors
+        # like the engines' pmod-normalized div — exact at any magnitude, and the
+        # int->double conversion is the same IEEE op DuckDB's CAST performs
+        if s is None:  # all-NULL group sum (SQL SUM semantics) — ADVICE r7
+            return None
+        return ((s + 50) // 100) / 100.0
 
     rows = (
         [(k, None, 2, c, total(s)) for k, (c, s) in roll(lambda r: r.o_orderstatus).items()]
@@ -483,14 +499,14 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q28_tpch_q1",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_qty,
-           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100.0 AS DECIMAL(8,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_base_price,
-           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100.0 AS DECIMAL(8,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_disc_price,
-           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100.0 AS DECIMAL(8,2))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_charge,
-           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_qty,
-           FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_disc,
+           {duck_sum_fast("l_quantity", "sum_qty", 2)},
+           {duck_sum_fast("l_extendedprice", "sum_base_price", 2)},
+           {duck_sum_fast("l_extendedprice * (1 - l_discount)", "sum_disc_price", 2)},
+           {duck_sum_fast("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 2)},
+           {duck_avg_units("SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))", "COUNT(*)", 2, "avg_qty", 2)},
+           {duck_avg_units("SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))", "COUNT(*)", 4, "avg_disc", 4)},
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -512,8 +528,6 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rubix_spark.fns import round_det
-
     li = catalog.table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
@@ -521,20 +535,22 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     def units(col: F.Column, m: int) -> F.Column:  # exact integer units of 1/m
         return F.sum(F.floor(col * m + F.lit(0.5)).cast("long"))
 
-    def dollars(sum_long: F.Column, m: int, alias: str, nd: int = 2) -> F.Column:
-        return round_det(sum_long.cast("decimal(38,4)") / F.lit(m), nd).alias(alias)
+    def dollars(sum_cents: F.Column, alias: str) -> F.Column:
+        # round-8: cent longs emit via ONE int->double conversion (no decimal, no
+        # double ever carries the sum — exact at any magnitude inside int64)
+        return (sum_cents.cast("double") / F.lit(100)).alias(alias)
 
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     qty_s = units(F.col("l_quantity"), 100)
     disc_s = units(F.col("l_discount"), 10000)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dollars(qty_s, 100, "sum_qty"),
-        dollars(units(F.col("l_extendedprice"), 100), 100, "sum_base_price"),
-        dollars(units(disc_price, 100), 100, "sum_disc_price"),
-        dollars(units(charge, 100), 100, "sum_charge"),
-        round_det((qty_s.cast("decimal(38,2)") / F.lit(100)).cast("double") / F.count("*")).alias("avg_qty"),
-        round_det((disc_s.cast("decimal(38,4)") / F.lit(10000)).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        dollars(qty_s, "sum_qty"),
+        dollars(units(F.col("l_extendedprice"), 100), "sum_base_price"),
+        dollars(units(disc_price, 100), "sum_disc_price"),
+        dollars(units(charge, 100), "sum_charge"),
+        avg_units_det(qty_s, F.count("*"), 2, "avg_qty", 2),
+        avg_units_det(disc_s, F.count("*"), 4, "avg_disc", 4),
         F.count("*").alias("count_order"),
     )
 
@@ -594,19 +610,20 @@ def q28_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x10_rollup_cascade",
-    """
+    f"""
     WITH m AS (
         SELECT date_trunc('minute', ts) AS mb, COUNT(*) AS n,
-               SUM(CAST(value AS DECIMAL(18,4))) AS v
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS v
         FROM events GROUP BY 1
     ),
     h AS (
-        SELECT date_trunc('hour', mb) AS hb, CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+        SELECT date_trunc('hour', mb) AS hb, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS v
         FROM m GROUP BY 1
     )
     SELECT CAST(date_trunc('day', hb) AS DATE) AS day,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           FLOOR(CAST(SUM(v) AS DOUBLE) * 100 + 0.5) / 100.0 AS total_v,
+           {duck_money_from_units("SUM(v)")} AS total_v,
            COUNT(*) AS active_hours
     FROM h GROUP BY 1
     """,
@@ -621,12 +638,12 @@ def q28_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def x10_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rubix_spark.fns import round_det
+    from rubix_spark.fns import money_from_units
 
     ev = catalog.table(spark, sf_dir, "events")
     # long ten-thousandths through the whole cascade (the money_sum_fast form): the
     # raw-value quantization is exact at every level because long re-aggregation is
-    # plain addition; one decimal conversion on the final ~days-sized output
+    # plain addition; one integer-hundredths finalize on the final ~days-sized output
     minute = ev.groupBy(F.date_trunc("minute", "ts").alias("mb")).agg(
         F.count("*").alias("n"),
         F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias("v"),
@@ -636,7 +653,7 @@ def x10_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hour.groupBy(F.to_date(F.date_trunc("day", "hb")).alias("day")).agg(
         F.sum("n").alias("n_events"),
-        round_det(F.sum("v").cast("decimal(38,4)") / F.lit(10000), 2).alias("total_v"),
+        money_from_units(F.sum("v"), "total_v"),
         F.count("*").alias("active_hours"),
     )
 
@@ -691,12 +708,11 @@ def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q29_deep_cte",
-    """
+    f"""
     WITH cust_sales AS (
         SELECT c.c_custkey, n.n_name AS nation,
                CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
-               FLOOR(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
-                                   / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS rev
+               {duck_sum_fast("l.l_extendedprice * (1 - l.l_discount)", "rev")}
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -707,8 +723,7 @@ def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     ),
     nation_year AS (
-        SELECT nation, yr,
-               FLOOR(CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS nation_rev
+        SELECT nation, yr, {duck_sum_fast("rev", "nation_rev")}
         FROM cust_sales GROUP BY 1, 2
     )
     SELECT y1.nation, y1.c_custkey, y1.yr AS yr1, y1.rev AS rev1, y2.rev AS rev2,
@@ -743,7 +758,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE reuse: three consumers below; eager localCheckpoint = compute-once with
     # ContextCleaner reclaim (never persist() in a builder — CLAUDE.md invariant 9)
     cust_sales = _q29_cust_sales(spark, sf_dir).localCheckpoint()
-    nation_year = cust_sales.groupBy("nation", "yr").agg(money(F.sum(dec("rev")), "nation_rev"))
+    nation_year = cust_sales.groupBy("nation", "yr").agg(money_sum_fast("rev", "nation_rev"))
     # consecutive-year self-join = lead() window (the q9 lesson, applied to the CTE):
     # (custkey, nation) is unique per yr after the grouping, so "this customer's next
     # year" is lead over (custkey, nation ORDER BY yr) gated on yr+1 — one exchange of
@@ -778,7 +793,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     y AS (
         SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr, p.p_brand AS brand,
-               SUM(CAST(l_quantity AS DECIMAL(6,2))) AS tot
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS tot
         FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
                JOIN part p ON s.l_partkey = p.p_partkey
         GROUP BY 1, 2
@@ -788,9 +803,9 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM y
     )
     SELECT brand, yr,
-           FLOOR(CAST(prev AS DOUBLE) * 100 + 0.5) / 100.0 AS prev_qty,
-           FLOOR(CAST(tot AS DOUBLE) * 100 + 0.5) / 100.0 AS cur_qty,
-           FLOOR(CAST(tot - prev AS DOUBLE) * 100 + 0.5) / 100.0 AS delta
+           CAST(prev AS DOUBLE) / 100 AS prev_qty,
+           CAST(tot AS DOUBLE) / 100 AS cur_qty,
+           CAST(tot - prev AS DOUBLE) / 100 AS delta
     FROM d WHERE prev IS NOT NULL AND tot < prev
     """,
     doc=(
@@ -851,11 +866,11 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("brand").orderBy("yr")
     d = y.select("brand", "yr", "s", F.lag("s").over(w).alias("ps"))
-    tot = F.col("s").cast("decimal(38,2)") / F.lit(100)
-    prev = F.col("ps").cast("decimal(38,2)") / F.lit(100)
+    # round-8: the lag/compare/delta all ride the exact hundredth longs; one
+    # int->double conversion per emitted value (never a sum through double space)
     return d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps"))).select(
         "brand", "yr",
-        money(prev, "prev_qty"),
-        money(tot, "cur_qty"),
-        money(tot - prev, "delta"),
+        (F.col("ps").cast("double") / F.lit(100)).alias("prev_qty"),
+        (F.col("s").cast("double") / F.lit(100)).alias("cur_qty"),
+        ((F.col("s") - F.col("ps")).cast("double") / F.lit(100)).alias("delta"),
     )

@@ -24,7 +24,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rubix_spark import catalog
-from rubix_spark.fns import dec, dec_det, duck_round, duck_sum2, money, money_sum_fast, round_det
+from rubix_spark.fns import (
+    avg_units_det,
+    dec,
+    dec_det,
+    duck_avg_units,
+    duck_money_from_units,
+    duck_round,
+    duck_sum2,
+    duck_sum_fast,
+    duck_unit_sum,
+    money,
+    money_sum_fast,
+    round_det,
+)
 from rubix_spark.queries import register
 
 
@@ -141,7 +154,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _Q4_ORACLE = f"""
     SELECT n.n_name,
-           {duck_round("SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4)))")} AS revenue
+           {duck_sum_fast("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -268,9 +281,8 @@ _Q4_SPARK_SQL = """
     ),
     g AS (
         SELECT /*+ BROADCAST(ca, sa) */ sa.s_nationkey,
-               FLOOR(CAST(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D)
-                                        AS BIGINT)) AS DECIMAL(38,4)) / 10000 AS DOUBLE)
-                     * 100.0D + 0.5D) / 100.0D AS revenue
+               SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0D + 0.5D)
+                        AS BIGINT)) AS s
         FROM lineitem l
         JOIN orders o ON l_orderkey = o_orderkey
         JOIN ca       ON c_custkey = o_custkey
@@ -278,7 +290,10 @@ _Q4_SPARK_SQL = """
         WHERE ca.c_nationkey = sa.s_nationkey
         GROUP BY sa.s_nationkey
     )
-    SELECT /*+ BROADCAST(nr) */ n_name, revenue
+    -- integer hundredths finalize (fns.money_sum_fast's SQL form): half-up of the
+    -- exact long ten-thousandths sum, no double ever carries the group sum
+    SELECT /*+ BROADCAST(nr) */ n_name,
+           CAST(((s + 50L) - pmod(s + 50L, 100L)) div 100L AS DOUBLE) / 100 AS revenue
     FROM g JOIN nr ON g.s_nationkey = nr.n_nationkey
     """
 
@@ -580,12 +595,14 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_distinct_buckets",
     f"""
     SELECT COUNT(DISTINCT o_custkey) AS dc,
-           {duck_round('''CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 50000
-                               THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / NULLIF(COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 1 END), 0)''')} AS b1,
-           {duck_round('''CAST(SUM(CASE WHEN o_totalprice > 50000
-                               THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / NULLIF(COUNT(CASE WHEN o_totalprice > 50000 THEN 1 END), 0)''')} AS b2
+           {duck_avg_units('''SUM(CASE WHEN o_totalprice BETWEEN 0 AND 50000
+                               THEN CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT) END)''',
+                           "COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 1 END)",
+                           4, "b1")},
+           {duck_avg_units('''SUM(CASE WHEN o_totalprice > 50000
+                               THEN CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT) END)''',
+                           "COUNT(CASE WHEN o_totalprice > 50000 THEN 1 END)",
+                           4, "b2")}
     FROM orders
     """,
     doc=(
@@ -620,10 +637,9 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def final_avg(s_col, c_col, alias):
-        return round_det(
-            (F.sum(s_col).cast("decimal(38,4)") / F.lit(10000)).cast("double")
-            / F.nullif(F.sum(c_col), F.lit(0))
-        ).alias(alias)
+        # exact integer average of the re-summed partials (round-8: the sum never
+        # converts to double — cross-engine exact at any magnitude, fns.avg_units_det)
+        return avg_units_det(F.sum(s_col), F.sum(c_col), 4, alias)
 
     return g.agg(
         F.count("o_custkey").alias("dc"),
@@ -640,7 +656,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS u,
            (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '2-HIGH') AS h,
-           (SELECT {duck_round("SUM(CAST(o_totalprice AS DECIMAL(18,4)))")} FROM orders) AS t
+           (SELECT {duck_money_from_units(duck_unit_sum("o_totalprice"))} FROM orders) AS t
     """,
     doc=(
         "Independent scalar aggregates (query88's 8-band pattern). The engine does "

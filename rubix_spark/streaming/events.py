@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rubix_spark.fns import round_det
+from rubix_spark.fns import duck_sum_fast, money_from_units
 from rubix_spark.queries import register
 
 # Streaming requires a pinned schema; the ts column's declared type depends on the
@@ -95,7 +95,10 @@ def sliding_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
         .agg(
             F.count("*").alias("c"),
-            round_det(F.sum(F.col("value").cast("decimal(18,4)"))).alias("v"),
+            # round-8: long ten-thousandths + integer hundredths finalize (fns)
+            money_from_units(
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")), "v"
+            ),
         )
         .select(F.col("win.start").alias("ws"), "event_type", "c", "v")
     )
@@ -108,7 +111,9 @@ def session_stats(events: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            round_det(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_v"),
+            money_from_units(
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")), "total_v"
+            ),
         )
         .select("user_id", F.col("win.start").alias("session_start"), "n_events", "total_v")
     )
@@ -196,7 +201,7 @@ def _run_available_now(
 
 @register(
     "s1_stream_sliding",
-    """
+    f"""
     WITH w AS (
         SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000
                               - g.i * 300000000) AS ws,
@@ -204,7 +209,7 @@ def _run_available_now(
         FROM events, generate_series(0, 1) g(i)
     )
     SELECT ws, event_type, COUNT(*) AS c,
-           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS v
+           {duck_sum_fast("value", "v")}
     FROM w
     GROUP BY ws, event_type
     """,
@@ -222,7 +227,7 @@ def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s2_stream_session",
-    """
+    f"""
     WITH o AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -238,7 +243,7 @@ def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM o
     )
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS total_v
+           {duck_sum_fast("value", "total_v")}
     FROM s GROUP BY user_id, sid
     """,
     doc=(
@@ -255,7 +260,7 @@ def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s6_stream_durable_sink",
-    """
+    f"""
     WITH w AS (
         SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000
                               - g.i * 300000000) AS ws,
@@ -263,7 +268,7 @@ def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events, generate_series(0, 1) g(i)
     )
     SELECT ws, event_type, COUNT(*) AS c,
-           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS v
+           {duck_sum_fast("value", "v")}
     FROM w
     GROUP BY ws, event_type
     """,

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from rubix_spark.fns import duck_sum_fast
 from rubix_spark.queries import register
 from rubix_spark.streaming.events import _run_available_now, _stream_partitions, read_events_stream
 
@@ -64,8 +67,9 @@ def _sessionize(
     for pdf in batches:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-        # exact decimal(18,4)-style integer accumulation, matching fns.dec() sums
-        v_e4s = [round(v * 10000) for v in pdf["value"].tolist()]
+        # exact integer ten-thousandths, the fns.money_sum_fast row form (round-8:
+        # floor(v*1e4+0.5), matching the oracle's per-row FLOOR quantization)
+        v_e4s = [math.floor(v * 10000 + 0.5) for v in pdf["value"].tolist()]
         for t, v in zip(ts_us, v_e4s):
             if open_sess is None:
                 open_sess = [t, t, 1, v]
@@ -88,7 +92,8 @@ def _sessionize(
                 "user_id": [user_id] * len(closed),
                 "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
                 "n_events": [s[2] for s in closed],
-                # v_e4/10000 then floor-round: identical to round_det(sum(dec(value)))
+                # integer hundredths finalize: s//100 + (s%100>=50) == (s+50)//100,
+                # the same half-up fns.money_from_units computes engine-side
                 "total_v": [
                     float(int(s[3] // 100 + (1 if s[3] % 100 >= 50 else 0)) / 100.0)
                     for s in closed
@@ -113,7 +118,7 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
 
 @register(
     "s4_stateful_session",
-    """
+    f"""
     WITH o AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -129,7 +134,7 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
         FROM o
     )
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100.0 AS total_v
+           {duck_sum_fast("value", "total_v")}
     FROM s GROUP BY user_id, sid
     """,
     doc=(

@@ -13,8 +13,17 @@ import duckdb
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# round_det's documented envelope: |x| <= 2^52 / 10^n keeps the +0.5 tick resolvable
+# in x*10^n (see fns.round_det). Inputs BIND as doubles (con.execute params) — a VALUES
+# literal would type as DECIMAL, and DuckDB's decimal->double cast (scaled-int64 ->
+# double -> divide, two roundings) diverges from a correctly-rounded string parse once
+# the scaled int exceeds 2^53. That literal-typing divergence — hypothesis-found at
+# x = -900719925474.4451 in round 7 — is exactly why group SUMS never take the double
+# path at all (they quantize in integer space; tests below).
+_ROUND2_ENVELOPE = 2.0**52 / 100
 finite_doubles = st.floats(
-    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+    allow_nan=False, allow_infinity=False,
+    min_value=-_ROUND2_ENVELOPE, max_value=_ROUND2_ENVELOPE,
 )
 
 
@@ -26,12 +35,62 @@ def _duck(vals_sql: str, expr: str):
 @settings(max_examples=200, deadline=None)
 @given(st.lists(finite_doubles, min_size=1, max_size=20))
 def test_floor_round_matches_python_model(xs):
-    """floor(x*100+0.5)/100 in DuckDB == the same IEEE ops in Python, for any double."""
-    vals = ", ".join(f"({x!r})" for x in xs)
-    got = _duck(vals, "FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) / 100.0")
-    for (g,), x in zip(got, xs):
+    """floor(x*100+0.5)/100 in DuckDB == the same IEEE ops in Python, for any double
+    inside round_det's documented envelope, with the double bound as a parameter (the
+    engines must hold the SAME input double — that is part of the contract)."""
+    con = duckdb.connect()
+    for x in xs:
+        (g,) = con.execute("SELECT FLOOR(CAST(? AS DOUBLE) * 100 + 0.5) / 100.0", [x]).fetchone()
         expected = math.floor(x * 100 + 0.5) / 100.0
         assert g == expected or (math.isnan(g) and math.isnan(expected)), (x, g, expected)
+
+
+unit_sums = st.integers(min_value=-(2**63) + 51, max_value=2**63 - 51)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(unit_sums, min_size=1, max_size=20))
+def test_integer_hundredths_finalize_matches_duckdb_at_any_magnitude(ss):
+    """fns.money_sum_fast's finalize — h = (s+50)//100 on the exact long unit sum,
+    then ONE int->double conversion — matches DuckDB's pmod-normalized `//` form for
+    ANY int64 unit sum (the full capacity of the long fast path, no envelope). This is
+    the foundation the round-8 oracle gate rests on: no double ever carries a sum."""
+    con = duckdb.connect()
+    for s in ss:
+        g_h, g_out = con.execute(
+            "SELECT ((t - (((t % 100) + 100) % 100)) // 100),"
+            "       CAST(((t - (((t % 100) + 100) % 100)) // 100) AS DOUBLE) / 100"
+            " FROM (SELECT CAST(? AS BIGINT) + 50 AS t)",
+            [s],
+        ).fetchone()
+        h = (s + 50) // 100  # Python // floors — the model of the engines' div
+        assert g_h == h, (s, g_h, h)
+        assert g_out == h / 100.0, (s, g_out, h / 100.0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-(2**61), max_value=2**61),  # |2s + f*c| must fit int64
+    st.integers(min_value=1, max_value=10**12),
+    st.sampled_from([(4, 2), (2, 2), (4, 4)]),
+)
+def test_integer_average_finalize_matches_duckdb(s, c, scales):
+    """fns.avg_units_det — floor((2s + f*c)/(2fc)) in integer space — equals the
+    half-up rounding of the exact rational (s/10^si)/c in both DuckDB and the Python
+    model, at any magnitude inside int64 (q13/q28's average path)."""
+    si, nd = scales
+    f = 10 ** (si - nd)
+    num, den = 2 * s + f * c, 2 * f * c
+    h = num // den  # Python floor division == the engines' pmod-normalized div
+    (g,) = duckdb.connect().execute(
+        f"SELECT (({num} - ((({num} % {den}) + {den}) % {den})) // {den})"
+    ).fetchone()
+    assert g == h, (s, c, si, nd, g, h)
+    # the integer result IS the half-up rounding of the exact rational
+    from fractions import Fraction
+
+    exact = Fraction(s, 10**si) / c * 10**nd
+    assert h == math.floor(exact + Fraction(1, 2)), (s, c, si, nd)
 
 
 @settings(max_examples=100, deadline=None)
