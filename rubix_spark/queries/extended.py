@@ -395,6 +395,10 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_custkey").alias("cust"),  # constant within the order
             F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
+            # explicit channel-0 row count (ADVICE r7): "ss group exists" must not be
+            # proxied by ss_q's nullability — an all-NULL-quantity channel-0 group
+            # yields an oracle ss row with NULL ss_q that the proxy would drop
+            F.sum(F.when(sale & (ch == 0), 1).otherwise(0)).alias("ss_n"),
             chan("ss_q", 0, qL), chan("ss_p", 0, pL),
             chan("ws_q", 1, qL), chan("ws_p", 1, pL),
             chan("cs_q", 2, qL), chan("cs_p", 2, pL),
@@ -404,7 +408,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("p_brand", "item")
     )
     g2 = g1.groupBy("item", "cust").agg(
-        *[F.sum(c).alias(c) for c in ("ss_q", "ss_p", "ws_q", "ws_p", "cs_q", "cs_p")]
+        *[F.sum(c).alias(c) for c in ("ss_n", "ss_q", "ss_p", "ws_q", "ws_p", "cs_q", "cs_p")]
     )
 
     def d2(col):  # long hundredths -> exact decimal -> double output
@@ -416,7 +420,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     other_p = F.coalesce(F.col("ws_p"), F.lit(0)) + F.coalesce(F.col("cs_p"), F.lit(0))
     return (
         g2.where(
-            F.col("ss_q").isNotNull()
+            (F.col("ss_n") > 0)
             & (F.coalesce(F.col("ws_q"), F.lit(0)) > 0)
             & (F.coalesce(F.col("cs_q"), F.lit(0)) > 0)
         )

@@ -81,9 +81,11 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MAX of every column answered from parquet FOOTER statistics (column-chunk "
         "min/max is already in the metadata — reference stress max_all.sql:1-27 pays a "
         "full 11-column decode for it); columns whose stats aren't provably exact "
-        "(sources/stats.py trust rules: long/non-ASCII strings, ns timestamps, absent "
-        "chunks) fall back to a pruned scan of just those columns. On the fixtures "
-        "every column is metadata-answerable, so the row costs footer IO only."
+        "(sources/stats.py trust rules: FLOATS — footer stats exclude NaN while both "
+        "engines order NaN greatest, ADVICE r7 — long/non-ASCII strings, ns "
+        "timestamps, absent chunks) fall back to ONE pruned scan of just those "
+        "columns: on the fixtures, 7 of 11 columns are metadata-answerable and the 4 "
+        "doubles ride a 4-column vectorized scan."
     ),
 )
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,7 +10,12 @@ already-computed answer. The same mechanism backs Spark's own DSv2
 (bucketed layouts, cache shim) everywhere else.
 
 Trust rules — a footer value is used ONLY when it is provably the exact max:
-- numeric / date / timestamp physical types: always exact in parquet stats.
+- integer / date / timestamp physical types: always exact in parquet stats.
+- float / double: NEVER trusted (ADVICE r7, verified empirically): parquet writers
+  exclude NaN from min/max, while Spark F.max and DuckDB MAX order NaN greatest — a
+  single NaN in the column makes the footer max silently wrong. There is no NaN count
+  in classic column-chunk stats to rule it out, so float columns always take the
+  (column-pruned, vectorized — still cheap) scan fallback.
 - strings (BYTE_ARRAY with String logical type): trusted ONLY when both min and max
   are pure-ASCII and <= 8 bytes. Parquet permits truncated bounds (``max_value`` may
   be an upper bound, and pyarrow 16 does not expose ``is_max_value_exact``), but every
@@ -73,6 +78,9 @@ def footer_max(path: str) -> tuple[dict[str, object], list[str]]:
             for field in pf.schema_arrow:
                 names.append(field.name)
                 if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
+                    bad.add(field.name)
+                # floats: footer min/max excludes NaN, engines order NaN greatest
+                if pa.types.is_floating(field.type):
                     bad.add(field.name)
         md = pf.metadata
         for rg in range(md.num_row_groups):

@@ -87,14 +87,32 @@ def compare_tolerant(spark_df, oracle: str, sf_dir: str, atol: float = 1e-3) -> 
     the repo gate accepts it while still failing on genuine regressions."""
     s_pdf = spark_df.toPandas()
     o_pdf = run_oracle(oracle, sf_dir)
-    s_cols, o_cols = list(s_pdf.columns), [c.lower() for c in o_pdf.columns]
+    o_pdf.columns = [c.lower() for c in o_pdf.columns]
+    s_cols, o_cols = list(s_pdf.columns), list(o_pdf.columns)
     if sorted(s_cols) != sorted(o_cols):
         return [f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}"]
     s_rows, o_rows = _rows(s_pdf), _rows(o_pdf)
     if len(s_rows) != len(o_rows):
         return [f"row count: spark={len(s_rows)} oracle={len(o_rows)}"]
-    _, s_can = canonical(s_cols, s_rows)
+    sc, s_can = canonical(s_cols, s_rows)
     _, o_can = canonical(o_cols, o_rows)
+    # Re-sort with EXACT (non-float) columns dominating the key (ADVICE r7): a
+    # within-atol delta in a float column that led the canonical sort could order the
+    # two frames differently and misalign the positional zip. Float columns only
+    # break ties among rows identical in every exact column.
+    floatish = {
+        c for c in sc
+        if pd.api.types.is_float_dtype(s_pdf[c]) or pd.api.types.is_float_dtype(o_pdf[c])
+    }
+    order = [i for i, c in enumerate(sc) if c not in floatish] + [
+        i for i, c in enumerate(sc) if c in floatish
+    ]
+
+    def _key(t):
+        return tuple("" if t[i] is None else str(t[i]) for i in order)
+
+    s_can = sorted(s_can, key=_key)
+    o_can = sorted(o_can, key=_key)
 
     def cell_ok(a, b) -> bool:
         if a == b:
