@@ -55,8 +55,11 @@ PRIORITY: tuple[str, ...] = (
     "x1_dedup_exact", "x1_dedup_keep_first", "x1_minhash_lsh", "x1_dedup_components",
     # X2 similarity search (brute force, IVF, sign-LSH)
     "x2_ann_bruteforce", "x2_ann_ivf", "x2_ann_lsh",
-    # X3 text analysis
-    "x3_token_count", "x3_langid", "x3_quality", "x3_fingerprint", "x3_keywords",
+    # X3 text analysis. x3_keywords yielded its window slot to q32_cross_channel in
+    # round 8 (the r7 verdict's rotation): keywords rides the same tokenizer kernel
+    # x3_token_count already driver-checks, and it stays registered + repo-gated,
+    # while q32 is the newest reference stress shape (query78 class).
+    "x3_token_count", "x3_langid", "x3_quality", "x3_fingerprint", "q32_cross_channel",
     # X4 UDF/UDAF/UDTF surface
     "x4_udf_scalar", "x4_udf_grouped_median", "x4_udtf_explode",
     # X5 multimodal binary columns
