@@ -134,17 +134,22 @@ def q13_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q19_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.fns import money_from_units
+
     t = catalog.load(spark, sf_dir, ("orders", "customer", "nation"))
-    cust = (
-        t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "n_name")
-    )
-    r = (
+    # same narrow nationkey probe + name-on-aggregate as the graded body (round-8):
+    # the ablation differs only in LAYOUT (broadcast cust map vs co-located SMJ)
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    r0 = (
         t["orders"]
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")).alias("s"))
+    )
+    r = (
+        r0.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "o_orderpriority")
-        .agg(money_sum_fast("o_totalprice", "t"))
+        .agg(money_from_units(F.sum("s"), "t"))
     )
     w = Window.partitionBy("n_name").orderBy(F.col("t").desc(), "o_orderpriority")
     return r.select("n_name", "o_orderpriority", "t", F.rank().over(w).alias("rk"))

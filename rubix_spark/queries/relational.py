@@ -848,24 +848,31 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rubix_spark.fns import money_sum_fast
+    from rubix_spark.fns import money_from_units
     from rubix_spark.sources.bucketing import bucketed_table
 
     orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     customer = bucketed_table(spark, sf_dir, "customer", "c_custkey")
     nation = catalog.table(spark, sf_dir, "nation")
-    cust = (
-        customer
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "n_name")
-    )
-    r = (
+    # NARROW probe payload (round-8, the q4/q29 bebb087 pattern): the customer side
+    # of the merge join carries only the LONG c_nationkey — the n_name string would
+    # otherwise ride every fact-stream probe row AND the 15M-row partial-aggregate
+    # hash key. The name attaches on the ~|nation x priority| aggregate instead, and
+    # the unit sums re-aggregate exactly (long adds) under the name join, so a
+    # duplicate n_name would merge exactly as the oracle's GROUP BY n_name does.
+    cust = customer.select("c_custkey", "c_nationkey")
+    r0 = (
         orders
         # merge hint per invariant 17: a column-pruned size estimate would otherwise
         # flip the co-located join to a broadcast and silently disable the bucketing
         .join(cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")).alias("s"))
+    )
+    r = (
+        r0.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "o_orderpriority")
-        .agg(money_sum_fast("o_totalprice", "t"))
+        .agg(money_from_units(F.sum("s"), "t"))
     )
     w = Window.partitionBy("n_name").orderBy(F.col("t").desc(), "o_orderpriority")
     return r.select("n_name", "o_orderpriority", "t", F.rank().over(w).alias("rk"))
