@@ -239,6 +239,10 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 11.8M post-merge — the q29 selective-AND-narrow rule cuts the other way here).
     # Denormalized lineitem⋈orders artifact prototyped and REJECTED: 2.05 s (the scan
     # of the wider table costs what the merge join costs — BASELINE.md §4).
+    # Pre-aggregating revenue per (orderkey, s_nationkey) inside the buckets before
+    # the merge (r7 verdict #4) also REJECTED: 2.36 vs 1.90 s interleaved at sf10 —
+    # ~1.3 surviving lines per group leaves nothing to collapse and the 9M-group
+    # hash agg outweighs the smaller merge input (tools/proto_q4_preagg.py).
     o_f = (
         orders.select("o_orderkey", "o_custkey")
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
