@@ -1,17 +1,22 @@
-"""Advisory guard for invariant 20 (CLAUDE.md): scale artifacts must not silently
-predate the code they claim to measure.
+"""Guard for invariant 20 (CLAUDE.md): scale artifacts must not silently predate the
+code they claim to measure.
 
 Round-5 lesson: the checked-in BENCH_SF10/DUCK_SF10 artifacts predated the final
-round-5 commits (money_sum_fast, q13 decomposition), so in-code measured claims had no
-artifact backing and the judge had to re-time by hand. This test WARNS (never fails —
-mtimes are not semantics, and a doc edit shouldn't demand a 30-minute re-bench) when
-any query/ops/source module is newer than the scale artifacts, listing the offenders
-so the staleness is at least self-diagnosing in CI output.
+round-5 commits, so in-code measured claims had no artifact backing and the judge had
+to re-time by hand. The warn-only advisory was then ignored again in round 7 (same
+failure mode), so round 8 hardened it per the verdict: source changes to modules that
+define PRIORITY-window queries (or the shared expression/layout layer) now FAIL the
+suite until the artifacts are regenerated in (or after) the same commit; changes to
+non-window measured source still only warn.
+
+Staleness is judged from GIT HISTORY (files changed since the commit that last touched
+the artifacts, plus uncommitted edits), not mtimes — checkouts rewrite mtimes.
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import warnings
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -21,36 +26,65 @@ ARTIFACTS = ("BENCH_SF1.json", "BENCH_SF10.json", "DUCK_SF1.json", "DUCK_SF10.js
 MEASURED_DIRS = ("rubix_spark/queries", "rubix_spark/ops", "rubix_spark/streaming")
 MEASURED_FILES = ("rubix_spark/fns.py", "rubix_spark/catalog.py",
                   "rubix_spark/sources/bucketing.py", "bench.py")
+# shared layers whose changes invalidate EVERY measured number, window or not
+ALWAYS_WINDOW = {"rubix_spark/fns.py", "rubix_spark/catalog.py",
+                 "rubix_spark/sources/bucketing.py", "bench.py"}
 
 
-def _mtime(path: str) -> float:
-    return os.path.getmtime(path)
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def _is_measured(rel: str) -> bool:
+    return rel in MEASURED_FILES or (
+        rel.endswith(".py") and any(rel.startswith(d + "/") for d in MEASURED_DIRS)
+    )
+
+
+def _priority_modules() -> set[str]:
+    """Repo-relative paths of the modules whose builders hold PRIORITY-window slots."""
+    from rubix_spark.queries import PRIORITY, load_all
+
+    reg = load_all()
+    out = set(ALWAYS_WINDOW)
+    for name in PRIORITY:
+        mod = reg[name].builder.__module__.replace(".", "/") + ".py"
+        out.add(mod)
+    return out
 
 
 def test_scale_artifacts_not_older_than_measured_source():
-    art_times = {
-        a: _mtime(os.path.join(REPO, a))
-        for a in ARTIFACTS
-        if os.path.exists(os.path.join(REPO, a))
-    }
-    if not art_times:
+    present = [a for a in ARTIFACTS if os.path.exists(os.path.join(REPO, a))]
+    if not present:
         warnings.warn("no scale artifacts present (BENCH_SF1/SF10, DUCK_SF1/SF10)")
         return
-    oldest_artifact = min(art_times.values())
+    try:
+        # the artifact generation commit: the OLDEST last-touch among the four files
+        # (they are regenerated together; a partial refresh shows up as stale too)
+        art_commits = [_git("log", "-1", "--format=%H", "--", a) for a in present]
+        changed: set[str] = set()
+        for c in art_commits:
+            if not c:  # artifact never committed -> treat as fresh-at-HEAD
+                continue
+            changed.update(_git("diff", "--name-only", f"{c}..HEAD").splitlines())
+        # uncommitted edits count as newer-than-artifact
+        for line in _git("status", "--porcelain").splitlines():
+            changed.add(line[3:].split(" -> ")[-1])
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        warnings.warn("git history unavailable — staleness not checkable")
+        return
 
-    sources: list[str] = [os.path.join(REPO, f) for f in MEASURED_FILES]
-    for d in MEASURED_DIRS:
-        root = os.path.join(REPO, d)
-        for dirpath, _, files in os.walk(root):
-            sources.extend(os.path.join(dirpath, f) for f in files if f.endswith(".py"))
-
-    newer = sorted(
-        os.path.relpath(p, REPO) for p in sources if os.path.exists(p) and _mtime(p) > oldest_artifact
+    stale = sorted(p for p in changed if _is_measured(p))
+    if not stale:
+        return
+    window_stale = sorted(set(stale) & _priority_modules())
+    msg = (
+        "scale artifacts are OLDER than measured source — regenerate BENCH_SF1/SF10 "
+        "+ DUCK_SF1/SF10 (tools/gen_sf.py fixtures, bench.py, tools/duck_bench.py "
+        f"--isolate) in/after the offending commit. Stale: {stale}"
     )
-    if newer:
-        warnings.warn(
-            "scale artifacts are OLDER than measured source — regenerate "
-            "BENCH_SF1/SF10 + DUCK_SF1/SF10 (tools/gen_sf.py fixtures, bench.py, "
-            "tools/duck_bench.py --isolate) or carry the measurement in the commit. "
-            f"Source newer than the oldest artifact: {newer}"
-        )
+    # invariant 20, hardened (r7 verdict #1): PRIORITY-window source demands artifacts
+    assert not window_stale, msg + f" — PRIORITY-window modules among them: {window_stale}"
+    warnings.warn(msg)
