@@ -120,24 +120,36 @@ def money_from_units(s: Column, alias: str, scale: int = 4) -> Column:
 
 def avg_units_det(s: Column, c: Column, in_scale: int, alias: str, nd: int = 2) -> Column:
     """Exact half-up average from an integer unit sum: value = (s/10^in_scale)/c
-    rounded to ``nd`` decimals, computed as floor((2*s + f*c) / (2*f*c)) with
-    f = 10^(in_scale-nd) — pure int64 ops (pmod-normalized div, like
-    _int_hundredths), cross-engine exact at any magnitude with |2s + f*c| inside
-    int64 (|s| ≤ 4.6e18 units per group). NULL s (empty bucket) propagates.
-    Oracle twin: duck_avg_units."""
-    f = 10 ** (in_scale - nd)
+    rounded to ``nd`` decimals — half-up of the exact rational is
+    floor((2*s*10^nd + 10^in_scale*c) / (2*10^in_scale*c)), reduced so both sides
+    stay int64 (for in_scale >= nd divide through by 10^nd; for integer counts,
+    in_scale < nd, scale s up instead). Pure int64 ops (pmod-normalized div, like
+    _int_hundredths), cross-engine exact at any magnitude where the numerator fits
+    int64 (|s| ≤ 4.6e18/10^max(0,nd-in_scale) units per group). NULL s (empty
+    bucket) propagates. Oracle twin: duck_avg_units."""
     c0 = F.nullif(c.cast("long"), F.lit(0).cast("long"))  # empty bucket -> NULL, like SQL AVG
-    num = F.lit(2).cast("long") * s + F.lit(f).cast("long") * c0
-    den = F.lit(2 * f).cast("long") * c0
+    if in_scale >= nd:
+        f = 10 ** (in_scale - nd)
+        num = F.lit(2).cast("long") * s + F.lit(f).cast("long") * c0
+        den = F.lit(2 * f).cast("long") * c0
+    else:
+        g = 10 ** (nd - in_scale)
+        num = F.lit(2 * g).cast("long") * s + c0
+        den = F.lit(2).cast("long") * c0
     h = F.call_function("div", num - F.pmod(num, den), den)
     return (h.cast("double") / F.lit(float(10**nd))).alias(alias)
 
 
 def duck_avg_units(s_sql: str, c_sql: str, in_scale: int, alias: str, nd: int = 2) -> str:
     """DuckDB SQL matching avg_units_det (HUGEINT intermediates — overflow-free)."""
-    f = 10 ** (in_scale - nd)
-    num = f"(2 * ({s_sql}) + {f} * NULLIF(({c_sql}), 0))"
-    den = f"(2 * {f} * NULLIF(({c_sql}), 0))"
+    if in_scale >= nd:
+        f = 10 ** (in_scale - nd)
+        num = f"(2 * ({s_sql}) + {f} * NULLIF(({c_sql}), 0))"
+        den = f"(2 * {f} * NULLIF(({c_sql}), 0))"
+    else:
+        g = 10 ** (nd - in_scale)
+        num = f"(2 * {g} * ({s_sql}) + NULLIF(({c_sql}), 0))"
+        den = f"(2 * NULLIF(({c_sql}), 0))"
     h = f"(({num} - ((({num} % {den}) + {den}) % {den})) // {den})"
     return f"CAST({h} AS DOUBLE) / {10**nd} AS {alias}"
 

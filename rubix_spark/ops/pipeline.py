@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rubix_spark import catalog
-from rubix_spark.fns import round_det
+from rubix_spark.fns import avg_units_det, duck_avg_units, round_det
 from rubix_spark.ops import _tok
 from rubix_spark.queries import register
 
@@ -290,7 +290,7 @@ def x9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     )
     SELECT split, lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
-           FLOOR(CAST(SUM(CAST(n_tok AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_tokens
+           {duck_avg_units("SUM(CAST(n_tok AS BIGINT))", "COUNT(*)", 0, "avg_tokens")}
     FROM s GROUP BY split, lang
     """,
     doc=(
@@ -348,9 +348,7 @@ def x9_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_chars").alias("chars"),
-            round_det(
-                F.sum(F.col("n_tok").cast("decimal(18,4)")).cast("double") / F.count("*")
-            ).alias("avg_tokens"),
+            avg_units_det(F.sum(F.col("n_tok").cast("long")), F.count("*"), 0, "avg_tokens"),
         )
     )
 

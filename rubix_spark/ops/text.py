@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rubix_spark import catalog
-from rubix_spark.fns import duck_round, round_det
+from rubix_spark.fns import avg_units_det, duck_avg_units, duck_round, round_det
 from rubix_spark.ops import _tok
 from rubix_spark.queries import REGISTRY, register
 
@@ -28,9 +28,9 @@ _MARKERS = {"en": "the", "fr": "le", "de": "der", "es": "el", "zh": "zh"}
 
 @register(
     "x3_text_stats",
-    """
+    f"""
     SELECT lang, COUNT(*) AS docs,
-           FLOOR(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_chars,
+           {duck_avg_units("SUM(CAST(n_chars AS BIGINT))", "COUNT(*)", 0, "avg_chars")},
            MAX(LENGTH(text)) AS max_len
     FROM documents GROUP BY lang
     """,
@@ -40,7 +40,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("docs"),
-        round_det(F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_chars"),
+        # round-8: exact integer average (fns.avg_units_det) — the count sum never
+        # rides a double, cross-engine exact at any corpus size
+        avg_units_det(F.sum(F.col("n_chars").cast("long")), F.count("*"), 0, "avg_chars"),
         F.max(F.length("text")).alias("max_len"),
     )
 
@@ -157,7 +159,7 @@ _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 def _quality_rollup(per_doc: DataFrame) -> DataFrame:
     return per_doc.groupBy("source").agg(
         F.count("*").alias("docs"),
-        round_det(F.sum(F.col("n_tok").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_tokens"),
+        avg_units_det(F.sum(F.col("n_tok").cast("long")), F.count("*"), 0, "avg_tokens"),
         round_det(F.sum(F.col("stop_ratio").cast("decimal(18,9)")).cast("double") / F.count("*"), 4).alias("avg_stop_ratio"),
         round_det(F.sum(F.col("punct_ratio").cast("decimal(18,9)")).cast("double") / F.count("*"), 4).alias("avg_punct_ratio"),
     )
@@ -177,7 +179,7 @@ def _quality_rollup(per_doc: DataFrame) -> DataFrame:
         FROM documents
     )
     SELECT source, COUNT(*) AS docs,
-           FLOOR(CAST(SUM(CAST(n_tok AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0 AS avg_tokens,
+           {duck_avg_units("SUM(CAST(n_tok AS BIGINT))", "COUNT(*)", 0, "avg_tokens")},
            FLOOR(CAST(SUM(CAST(stop_ratio AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_stop_ratio,
            FLOOR(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_punct_ratio
     FROM per_doc GROUP BY source
