@@ -913,3 +913,133 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(f"{out_dir}/batch-*").localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-SUBSTRING spans (position-level dedup — the one granularity the
+# family above lacks: exact=whole doc, MinHash/SimHash/Jaccard=doc similarity,
+# embedding/SemDeDup=meaning; this finds the shared ≥K-token RUNS inside documents,
+# the training-data case where boilerplate/licenses/quotes repeat across otherwise
+# distinct pages and the pipeline wants them redacted, not the documents dropped)
+# ---------------------------------------------------------------------------
+_SUBSTR_K = 8  # window tokens: every duplicated run of >= K tokens contains >= 1 window
+
+
+@register(
+    "x1_substring_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_tok.duck_tokens('text')} AS tok FROM documents),
+    wins AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(tok) - {_SUBSTR_K - 1}, 0))) - 1 AS pos,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tok) - {_SUBSTR_K - 1}, 0)),
+                   i -> md5(array_to_string(list_slice(tok, i, i + {_SUBSTR_K - 1}), ' '))
+               )) AS h
+        FROM toks
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM wins
+        ) WHERE c >= 2
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= {_SUBSTR_K} THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SUBSTR_K} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, g
+    """,
+    doc=(
+        "Exact duplicated-substring spans (ExactSubstr dedup, Lee et al. 2021 "
+        "'Deduplicating Training Data Makes Language Models Better'): every maximal "
+        f"token range covered by {_SUBSTR_K}-token windows whose exact content occurs "
+        "at >= 2 positions in the corpus (across docs OR repeated within one). The "
+        "paper's suffix array is replaced by the Spark-shaped equivalent: stride-1 "
+        "window fingerprints + duplicate-count + per-doc interval merge — any "
+        f"duplicated run of >= {_SUBSTR_K} tokens contains a full window, so spans of "
+        "the suffix-array answer at window granularity, with no O(n^2) pair work. "
+        "Output: (doc_id, span_start, span_end) token offsets to redact + the window "
+        "count inside the span."
+    ),
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three stages, all narrow rows after the kernel (raw text never shuffles):
+    1. Arrow kernel (x3_fingerprint's shingle kernel + positions): tokenize, build
+       stride-1 K-token windows over the flat token buffer, emit (doc_id, pos, sh).
+    2. Mark duplicated windows: md5 (JVM codegen, 128-bit — 32-bit hash32 would
+       birthday-collide at corpus scale) and a count window over the hash; rows with
+       count >= 2 survive. One shuffle keyed on the hash.
+    3. Merge overlapping/adjacent [pos, pos+K) intervals per doc (gaps-and-islands:
+       lag -> break flag -> running island id -> min/max per island). One shuffle
+       keyed on doc_id. At 100 TB both shuffles move ~(8+4+16)-byte rows, ~token
+       count of the corpus — the same volume the suffix-array build would sort."""
+    from pyspark.sql.window import Window
+
+    K = _SUBSTR_K
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def win_kernel(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            text = pa.array(pdf["text"], pa.string())
+            norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
+            norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(norm, " +", " "))
+            toks = pc.split_pattern(norm, " ")
+            flat = toks.values
+            offs = toks.offsets.to_numpy()
+            n = len(flat)
+            if n < K:
+                continue
+            sh_all = pc.binary_join_element_wise(
+                *[flat.slice(j, n - K + 1) for j in range(K)], " "
+            )
+            idx = np.arange(n - K + 1)
+            doc_of = np.searchsorted(offs, idx, side="right") - 1
+            valid = idx <= offs[doc_of + 1] - K  # window must not cross its doc's end
+            if not valid.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_of[valid]],
+                    "pos": (idx - offs[doc_of])[valid],
+                    "sh": sh_all.to_numpy(zero_copy_only=False)[valid],
+                }
+            )
+
+    wins = docs.mapInPandas(win_kernel, "doc_id bigint, pos long, sh string").select(
+        "doc_id", "pos", F.md5(F.encode(F.col("sh"), "utf-8")).alias("h")
+    )
+    hits = (
+        wins.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(by_doc) <= K, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("g", F.sum("brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + K).alias("span_end"),
+        F.count("*").cast("long").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
