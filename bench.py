@@ -9,7 +9,10 @@ query. Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": 0.1}
 
 Env knobs: SPARK_GRAFT_BENCH_RUNS (timed runs per query, default 2),
-SPARK_GRAFT_BENCH_QUERIES (comma-separated subset).
+SPARK_GRAFT_BENCH_QUERIES (comma-separated subset),
+SPARK_GRAFT_BENCH_SCENARIOS=0 (skip the cache/slow/concurrent/stress scenario
+blocks — for the one-off heavy-row scale probes like sf30, where only the
+per-query timing loop is wanted; the driver's graded runs keep the default 1).
 """
 
 from __future__ import annotations
@@ -98,6 +101,8 @@ def main() -> None:
     _lsh_index(spark, sf_dir)
     _ivf_index(spark, sf_dir)
 
+    scenarios = os.environ.get("SPARK_GRAFT_BENCH_SCENARIOS", "1") != "0"
+
     # cold vs warm cache protocol (BASELINE.md §3) runs FIRST, in a clean JVM: measured
     # after the 80-query loop it absorbs multi-second GC pauses from the bloated heap
     # (warm read spiked 1.3s -> 13.8s on identical data). Clear the query-scoped cache,
@@ -105,75 +110,79 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from rubix_spark.cache.queries import _manager, _managers
-
-    cache_key = sf_dir.rstrip("/")
-    cache_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_cache", cache_key.replace("/", "_"))
-    # two full cold/warm cycles, min of each (stall hardening, r5 verdict: the cache
-    # phase was the single largest variance contributor because the cold pass includes
-    # a distributed write and ran exactly once — a host stall landed whole in the
-    # artifact). The first cycle still runs in the cleanest JVM state; a stall in
-    # either cycle is absorbed by the other.
-    cold_secs, warm_secs, warm_hit_rate = [], [], 0.0
-    for _cycle in range(2):
-        shutil.rmtree(cache_dir, ignore_errors=True)
-        _managers.pop(cache_key, None)
-        t0 = time.perf_counter()
-        _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
-        cold_secs.append(time.perf_counter() - t0)
-        cold_stats = _manager(spark, sf_dir).stats()  # snapshot: cold pass is all misses
-        t0 = time.perf_counter()
-        _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
-        warm_secs.append(time.perf_counter() - t0)
-        # hit rate over the WARM pass only — folding in the cold pass's by-design
-        # misses would floor the number at 0.5 regardless of cache behavior
-        cache_stats = _manager(spark, sf_dir).stats()
-        warm_reads = (cache_stats["hits"] + cache_stats["misses"]) - (cold_stats["hits"] + cold_stats["misses"])
-        warm_hit_rate = (cache_stats["hits"] - cold_stats["hits"]) / warm_reads if warm_reads else 0.0
-    cold_sec, warm_sec = min(cold_secs), min(warm_secs)
-
-    # slow-backend cache block: the same cold/warm protocol against a LATENCY-INJECTED
-    # remote (every remote op pays a synthetic round trip — the object-store case the
-    # cache exists for; against the local FS the page cache flatters the backend).
-    # Warm reads pay zero trips, so the speedup here is the cache's real value at
-    # deployment, not an artifact of local disk speed.
-    from rubix_spark.cache.manager import CacheManager as _SlowCM
-
-    slow_lat = float(os.environ.get("SPARK_GRAFT_BENCH_REMOTE_LATENCY", "0.25"))
-    slow_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_slowcache")
-    slow_colds, slow_warms = [], []
-    for _cycle in range(2):  # two cycles, min of each (stall hardening)
-        shutil.rmtree(slow_dir, ignore_errors=True)
-        slow_mgr = _SlowCM(spark, slow_dir, remote_latency_s=slow_lat)
-        slow_path = os.path.join(sf_dir, "lineitem.parquet")
-        t0 = time.perf_counter()
-        _consume(slow_mgr.read(slow_path))
-        slow_colds.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _consume(slow_mgr.read(slow_path))
-        slow_warms.append(time.perf_counter() - t0)
-    slow_cold, slow_warm = min(slow_colds), min(slow_warms)
-    shutil.rmtree(slow_dir, ignore_errors=True)
-
-    # concurrency phase also runs pre-loop for the same clean-JVM reason (perf/perf.go
-    # methodology: N concurrent identical runs of the headline query). perf.go drives
-    # the Presto CLI with SQL TEXT per run, so the faithful analog is the registered
-    # SQL-text twin of q4 (one Py4J call per submission); driving the DataFrame builder
-    # from N threads instead serializes N× Python plan construction on the GIL and
-    # measures the client, not the engine (~0.7 s/run slower at n=8, measured).
     import concurrent.futures as cf
 
+    cold_sec = warm_sec = slow_cold = slow_warm = None
+    warm_hit_rate = 0.0
+    slow_lat = float(os.environ.get("SPARK_GRAFT_BENCH_REMOTE_LATENCY", "0.25"))
     n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
-    head = registry["q4_star_join_sql"]
-    _consume(head.builder(spark, sf_dir))  # untimed: registers views, JITs the plan
+    conc_times = []
+    if scenarios:
+        from rubix_spark.cache.queries import _manager, _managers
 
-    def one_run(_):
-        t0 = time.perf_counter()
-        _consume(head.builder(spark, sf_dir))
-        return time.perf_counter() - t0
+        cache_key = sf_dir.rstrip("/")
+        cache_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_cache", cache_key.replace("/", "_"))
+        # two full cold/warm cycles, min of each (stall hardening, r5 verdict: the cache
+        # phase was the single largest variance contributor because the cold pass includes
+        # a distributed write and ran exactly once — a host stall landed whole in the
+        # artifact). The first cycle still runs in the cleanest JVM state; a stall in
+        # either cycle is absorbed by the other.
+        cold_secs, warm_secs = [], []
+        for _cycle in range(2):
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            _managers.pop(cache_key, None)
+            t0 = time.perf_counter()
+            _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+            cold_secs.append(time.perf_counter() - t0)
+            cold_stats = _manager(spark, sf_dir).stats()  # snapshot: cold pass is all misses
+            t0 = time.perf_counter()
+            _consume(registry["c1_cached_star_join"].builder(spark, sf_dir))
+            warm_secs.append(time.perf_counter() - t0)
+            # hit rate over the WARM pass only — folding in the cold pass's by-design
+            # misses would floor the number at 0.5 regardless of cache behavior
+            cache_stats = _manager(spark, sf_dir).stats()
+            warm_reads = (cache_stats["hits"] + cache_stats["misses"]) - (cold_stats["hits"] + cold_stats["misses"])
+            warm_hit_rate = (cache_stats["hits"] - cold_stats["hits"]) / warm_reads if warm_reads else 0.0
+        cold_sec, warm_sec = min(cold_secs), min(warm_secs)
 
-    with cf.ThreadPoolExecutor(max_workers=n_conc) as ex:
-        conc_times = list(ex.map(one_run, range(n_conc)))
+        # slow-backend cache block: the same cold/warm protocol against a LATENCY-INJECTED
+        # remote (every remote op pays a synthetic round trip — the object-store case the
+        # cache exists for; against the local FS the page cache flatters the backend).
+        # Warm reads pay zero trips, so the speedup here is the cache's real value at
+        # deployment, not an artifact of local disk speed.
+        from rubix_spark.cache.manager import CacheManager as _SlowCM
+
+        slow_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_slowcache")
+        slow_colds, slow_warms = [], []
+        for _cycle in range(2):  # two cycles, min of each (stall hardening)
+            shutil.rmtree(slow_dir, ignore_errors=True)
+            slow_mgr = _SlowCM(spark, slow_dir, remote_latency_s=slow_lat)
+            slow_path = os.path.join(sf_dir, "lineitem.parquet")
+            t0 = time.perf_counter()
+            _consume(slow_mgr.read(slow_path))
+            slow_colds.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _consume(slow_mgr.read(slow_path))
+            slow_warms.append(time.perf_counter() - t0)
+        slow_cold, slow_warm = min(slow_colds), min(slow_warms)
+        shutil.rmtree(slow_dir, ignore_errors=True)
+
+        # concurrency phase also runs pre-loop for the same clean-JVM reason (perf/perf.go
+        # methodology: N concurrent identical runs of the headline query). perf.go drives
+        # the Presto CLI with SQL TEXT per run, so the faithful analog is the registered
+        # SQL-text twin of q4 (one Py4J call per submission); driving the DataFrame builder
+        # from N threads instead serializes N× Python plan construction on the GIL and
+        # measures the client, not the engine (~0.7 s/run slower at n=8, measured).
+        head = registry["q4_star_join_sql"]
+        _consume(head.builder(spark, sf_dir))  # untimed: registers views, JITs the plan
+
+        def one_run(_):
+            t0 = time.perf_counter()
+            _consume(head.builder(spark, sf_dir))
+            return time.perf_counter() - t0
+
+        with cf.ThreadPoolExecutor(max_workers=n_conc) as ex:
+            conc_times = list(ex.map(one_run, range(n_conc)))
 
     # Stall-resistant timing protocol (r5 verdict: a host stall landing on the
     # driver's sampling window regressed the graded artifact 33% with zero code
@@ -216,50 +225,52 @@ def main() -> None:
     # cache budget sized BELOW the working set, concurrent readers cycling the tables —
     # evictions must fire continuously and every read must still return the right data
     # (checksum-stable vs the first read of each table).
-    from pyspark.sql import functions as F
+    stress = None
+    if scenarios:
+        from pyspark.sql import functions as F
 
-    from rubix_spark.cache.manager import CacheManager
+        from rubix_spark.cache.manager import CacheManager
 
-    stress_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_stress_cache")
-    shutil.rmtree(stress_dir, ignore_errors=True)
-    stress_tables = {"orders": "o_orderkey", "lineitem": "l_orderkey", "customer": "c_custkey", "part": "p_partkey"}
-    paths = {t: os.path.join(sf_dir, f"{t}.parquet") for t in stress_tables}
-    working_set = sum(_dir_bytes(p) for p in paths.values())
-    mgr = CacheManager(spark, stress_dir, budget_bytes=int(working_set * 0.5))
+        stress_dir = os.path.join(tempfile.gettempdir(), "rubix_spark_stress_cache")
+        shutil.rmtree(stress_dir, ignore_errors=True)
+        stress_tables = {"orders": "o_orderkey", "lineitem": "l_orderkey", "customer": "c_custkey", "part": "p_partkey"}
+        paths = {t: os.path.join(sf_dir, f"{t}.parquet") for t in stress_tables}
+        working_set = sum(_dir_bytes(p) for p in paths.values())
+        mgr = CacheManager(spark, stress_dir, budget_bytes=int(working_set * 0.5))
 
-    def checksum(t: str) -> int:
-        df = mgr.read(paths[t])
-        return df.agg(F.sum(F.crc32(F.col(stress_tables[t]).cast("string")))).collect()[0][0]
+        def checksum(t: str) -> int:
+            df = mgr.read(paths[t])
+            return df.agg(F.sum(F.crc32(F.col(stress_tables[t]).cast("string")))).collect()[0][0]
 
-    expected = {t: checksum(t) for t in stress_tables}
+        expected = {t: checksum(t) for t in stress_tables}
 
-    def hammer(i: int) -> int:
-        bad = 0
-        for t in list(stress_tables)[i % len(stress_tables):] + list(stress_tables)[: i % len(stress_tables)]:
-            if checksum(t) != expected[t]:
-                bad += 1
-        return bad
+        def hammer(i: int) -> int:
+            bad = 0
+            for t in list(stress_tables)[i % len(stress_tables):] + list(stress_tables)[: i % len(stress_tables)]:
+                if checksum(t) != expected[t]:
+                    bad += 1
+            return bad
 
-    # min-of-2 like the per-query timings: the stress block is eviction-bound (cache
-    # churn + re-warm I/O) and a single pass absorbs this host's multi-second random
-    # stalls whole (r3 measured 21.4 s where r2 saw 11.9 s on identical code — noise,
-    # not regression). Mismatches accumulate across both passes; evictions are totals.
-    stress_mismatches = 0
-    stress_secs = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        with cf.ThreadPoolExecutor(max_workers=4) as ex:
-            stress_mismatches += sum(ex.map(hammer, range(8)))
-        stress_secs.append(time.perf_counter() - t0)
-    stress_stats = mgr.stats()
-    stress = {
-        "budget_frac": 0.5,
-        "reads": 2 * 8 * len(stress_tables) + len(stress_tables),
-        "evictions": stress_stats["evictions"],
-        "mismatches": stress_mismatches,
-        "sec": round(min(stress_secs), 2),
-    }
-    shutil.rmtree(stress_dir, ignore_errors=True)
+        # min-of-2 like the per-query timings: the stress block is eviction-bound (cache
+        # churn + re-warm I/O) and a single pass absorbs this host's multi-second random
+        # stalls whole (r3 measured 21.4 s where r2 saw 11.9 s on identical code — noise,
+        # not regression). Mismatches accumulate across both passes; evictions are totals.
+        stress_mismatches = 0
+        stress_secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with cf.ThreadPoolExecutor(max_workers=4) as ex:
+                stress_mismatches += sum(ex.map(hammer, range(8)))
+            stress_secs.append(time.perf_counter() - t0)
+        stress_stats = mgr.stats()
+        stress = {
+            "budget_frac": 0.5,
+            "reads": 2 * 8 * len(stress_tables) + len(stress_tables),
+            "evictions": stress_stats["evictions"],
+            "mismatches": stress_mismatches,
+            "sec": round(min(stress_secs), 2),
+        }
+        shutil.rmtree(stress_dir, ignore_errors=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -279,27 +290,28 @@ def main() -> None:
             "pass_spread": round(max(pass_sums) / max(min(pass_sums), 1e-9), 3),
             "requeried": requeried,
         },
-        "concurrent": {
+    }
+    if scenarios:
+        out["concurrent"] = {
             "query": "q4_star_join_sql",
             "n": n_conc,
             "avg_sec": round(sum(conc_times) / len(conc_times), 4),
             "max_sec": round(max(conc_times), 4),
-        },
-        "cache": {
+        }
+        out["cache"] = {
             "query": "c1_cached_star_join",
             "cold_sec": round(cold_sec, 4),
             "warm_sec": round(warm_sec, 4),
             "speedup": round(cold_sec / warm_sec, 2) if warm_sec > 0 else None,
             "hit_rate": round(warm_hit_rate, 3),
-        },
-        "cache_slow": {
+        }
+        out["cache_slow"] = {
             "latency_s": slow_lat,
             "cold_sec": round(slow_cold, 4),
             "warm_sec": round(slow_warm, 4),
             "speedup": round(slow_cold / slow_warm, 2) if slow_warm > 0 else None,
-        },
-        "stress": stress,
-    }
+        }
+        out["stress"] = stress
     # full per-query detail always lands in BENCH_DETAIL.json next to this script
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(out, f, indent=1)
