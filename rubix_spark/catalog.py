@@ -173,6 +173,11 @@ def analyze(
                 "would silently serve the new dir's data for the old dir"
             )
     out: dict[str, dict] = {}
+    # a re-ANALYZE invalidates any memoized per-column stat lookups (stats.catalog_max)
+    memo = getattr(spark, "_rubix_catalog_max_memo", None)
+    if memo:
+        for k in [k for k in memo if k[0].startswith(prefix)]:
+            del memo[k]
     for name in names:
         tbl = f"{prefix}{name}"
         path = f"{sf_dir.rstrip('/')}/{name}.parquet"

@@ -133,18 +133,33 @@ def catalog_max(spark, table: str, cols: list[str]) -> dict[str, float]:
     Only float/double columns should be routed here (everything else is already
     provable from parquet footers). Returns {} entries only for columns whose
     "max" stat is present; absent stats → caller scans.
+
+    Lookups are memoized on the session per (table, col) — ANALYZE stats are
+    immutable until the next ANALYZE, and a DESCRIBE round trip per build
+    (~0.1 s × 4 columns) would otherwise dominate q2's metadata-answer path
+    (measured 0.08 → 0.50 s at sf1 un-memoized). Absent stats memoize too, so an
+    unanalyzed column never re-pays the probe.
     """
+    memo = getattr(spark, "_rubix_catalog_max_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_catalog_max_memo = memo
     out: dict[str, float] = {}
     for col in cols:
-        try:
-            rows = spark.sql(f"DESCRIBE EXTENDED {table} {col}").collect()
-        except Exception:
-            continue
-        for r in rows:
-            if (r[0] or "").strip().lower() == "max" and r[1] not in (None, "NULL"):
-                try:
-                    out[col] = float(r[1])
-                except ValueError:
-                    pass
-                break
+        key = (table, col)
+        if key not in memo:
+            memo[key] = None
+            try:
+                rows = spark.sql(f"DESCRIBE EXTENDED {table} {col}").collect()
+            except Exception:
+                rows = []
+            for r in rows:
+                if (r[0] or "").strip().lower() == "max" and r[1] not in (None, "NULL"):
+                    try:
+                        memo[key] = float(r[1])
+                    except ValueError:
+                        pass
+                    break
+        if memo[key] is not None:
+            out[col] = memo[key]
     return out
