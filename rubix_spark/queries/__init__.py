@@ -51,8 +51,12 @@ PRIORITY: tuple[str, ...] = (
     "q20_time_bucket",
     # charter custom operators: range join (as-of join is below with X7)
     "x7_range_join",
-    # X1 dedup (exact, keep-first, MinHash-LSH, connected components)
-    "x1_dedup_exact", "x1_dedup_keep_first", "x1_minhash_lsh", "x1_dedup_components",
+    # X1 dedup (exact, MinHash-LSH, connected components, duplicated-substring
+    # spans). x1_dedup_keep_first yielded its window slot to x1_substring_dedup in
+    # round 8: keep-first is the same md5-groupBy plan as x1_dedup_exact with an
+    # argmin instead of a count (stays registered + repo-gated), while ExactSubstr
+    # is a genuinely new granularity (position-level spans, Lee et al. 2021).
+    "x1_dedup_exact", "x1_substring_dedup", "x1_minhash_lsh", "x1_dedup_components",
     # X2 similarity search (brute force, IVF, sign-LSH)
     "x2_ann_bruteforce", "x2_ann_ivf", "x2_ann_lsh",
     # X3 text analysis. x3_keywords yielded its window slot to q32_cross_channel in
