@@ -76,7 +76,12 @@ def main() -> None:
     # only dilutes sub-100 ms toy-scale rows (measured: q19 0.53->0.33 s at sf0.1
     # isolated, yet +20-50 ms flat on every tiny row). SPARK_GRAFT_BENCH_ANALYZE=0/1
     # overrides the size default either way.
-    analyze_default = "0" if small_input else "1"
+    # ANALYZE has its own, lower threshold than AQE: the ~30 ms/query plan-time tax
+    # only hurts the sub-100 ms toy rows (sf0.1 ≈ 17 MiB), while at sf1 (≈ 180 MiB)
+    # the stats already pay for themselves — q2's float maxima come from catalog
+    # stats instead of a 4-double-column scan (0.48 → 0.08 s), and the CBO broadcast
+    # flip needs them. 64 MiB sits between the two measured points.
+    analyze_default = "0" if input_bytes < 64 * 1024**2 else "1"
     if os.environ.get("SPARK_GRAFT_BENCH_ANALYZE", analyze_default) != "0":
         from rubix_spark import catalog as _catalog
 
