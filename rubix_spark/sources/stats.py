@@ -163,3 +163,40 @@ def catalog_max(spark, table: str, cols: list[str]) -> dict[str, float]:
         if memo[key] is not None:
             out[col] = memo[key]
     return out
+
+
+def session_float_max(spark, sf_dir: str, table: str, cols: list[str], df) -> dict[str, float]:
+    """Float-column MAX via the session's stat store — the nightly-stats answer path
+    without requiring a metastore.
+
+    Routed sessions (catalog.analyze(route=True)) read the ANALYZE statistic
+    (``catalog_max``); bare sessions compute the maxima with ONE pruned vectorized
+    scan of exactly these columns and memoize the values per (dir, table) on the
+    session — fixtures are immutable per session (the same contract
+    ``catalog.table``'s DataFrame memo already relies on), so every later build is
+    a dict lookup. Both paths produce F.max's own semantics (NaN greatest), so the
+    answer is identical to the scan the memo replaces. All-NULL columns stay absent
+    (caller keeps them in its scan set).
+    """
+    if not cols:
+        return {}
+    from pyspark.sql import functions as F
+
+    memo = getattr(spark, "_rubix_float_max_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_float_max_memo = memo
+    key = (sf_dir.rstrip("/"), table)
+    cached = memo.get(key) or {}
+    missing = [c for c in cols if c not in cached]
+    if missing:
+        routed = getattr(spark, "_rubix_analyzed_prefix", {}).get(sf_dir.rstrip("/"))
+        got = catalog_max(spark, f"{routed}{table}", missing) if routed else {}
+        still = [c for c in missing if c not in got]
+        if still:
+            row = df.agg(*[F.max(c).alias(c) for c in still]).collect()[0]
+            got.update({c: row[c] for c in still if row[c] is not None})
+        cached = dict(cached)
+        cached.update(got)
+        memo[key] = cached
+    return {c: cached[c] for c in cols if c in cached}
