@@ -26,10 +26,18 @@ from rubix_spark.catalog import TABLES
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
-    """Run the oracle SQL, registering the testdata tables as views; fetch via pandas."""
+    """Run the oracle SQL, registering the testdata tables as views; fetch via pandas.
+
+    Driver fixtures are single parquet files; generated scale fixtures
+    (tools/gen_sf.py) are DIRECTORIES of part-files (invariant 14) — branch on isdir.
+    """
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'")
+        path = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     pdf = con.execute(sql).df()
     con.close()
     return pdf

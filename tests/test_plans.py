@@ -205,3 +205,17 @@ def test_correlated_subquery_runs_as_window(spark):
     plan = _plan(spark, "q18_correlated")
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_substring_dedup_shuffles_hash_not_text(spark):
+    """x1_substring_dedup: after the Arrow window kernel, only (doc_id, pos, h) rows
+    may shuffle — the raw text column and the K-token window strings ('sh') must be
+    projected away before any exchange (at 100 TB the window strings are ~8x the
+    corpus; the md5 rows are ~28 bytes). Exactly two hash exchanges: the duplicate
+    count keyed on the window hash, the interval merge keyed on doc_id."""
+    plan = _plan(spark, "x1_substring_dedup")
+    assert "MapInPandas" in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 2, exchanges
+    assert not any(("text" in l) or ("sh#" in l) for l in exchanges), exchanges
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

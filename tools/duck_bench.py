@@ -75,7 +75,13 @@ def main() -> None:
     registry = load_all()
     names = [n for n, q in registry.items() if q.oracle]
     if args.queries:
-        names = [n.strip() for n in args.queries.split(",")]
+        # rows-only queries have no oracle to time — record them as such instead of
+        # crashing the isolated subprocess with an empty timing set (round-8 fix)
+        asked = [n.strip() for n in args.queries.split(",")]
+        names = [n for n in asked if registry[n].oracle]
+        skipped = [n for n in asked if not registry[n].oracle]
+        if skipped:
+            print(f"# no oracle (rows-only), skipped: {skipped}", file=sys.stderr)
 
     if args.isolate:
         _isolated(args, names)
@@ -106,7 +112,7 @@ def main() -> None:
     ok = [v for v in timings.values() if v is not None]
     out = {
         "metric": "duckdb_suite_avg_sec_per_query",
-        "value": round(sum(ok) / len(ok), 4),
+        "value": round(sum(ok) / len(ok), 4) if ok else None,
         "unit": "sec",
         "queries": timings,
         "sf_dir": args.sf_dir,
