@@ -10,7 +10,7 @@ from __future__ import annotations
 import math
 
 import duckdb
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 # round_det's documented envelope: |x| <= 2^52 / 10^n keeps the +0.5 tick resolvable
@@ -86,9 +86,21 @@ def test_integer_average_finalize_matches_duckdb(s, c, scales):
     else:
         g = 10 ** (nd - si)
         num, den = 2 * g * s + c, 2 * c
+    # the declared envelope (avg_units_det contract): the scaled numerator and
+    # denominator must fit int64 — the up-scaling branch (si < nd) multiplies the sum
+    # by 10^(nd-si), so the raw ±2^55 draw must be rejected where that product leaves
+    # the envelope (Hypothesis found 2*10^4*s + c past 2^63 for the (0,4) pair; real
+    # uses are token/char counts ~1e12 × 2*10^4 = 2e16, three orders inside)
+    assume(abs(num) < 2**63 and 0 < den < 2**63)
     h = num // den  # Python floor division == the engines' pmod-normalized div
+    # CAST the parameters: DuckDB types bare int literals as the NARROWEST fitting
+    # integer, so (num % den) + den can overflow INT32 in the test harness — the
+    # production oracles (duck_sum2/duck_avg_units) always operate on BIGINT sum and
+    # count COLUMNS, which is what the casts reproduce here (found by Hypothesis at
+    # den = 2*715827883 ≈ 1.4e9).
     (g,) = duckdb.connect().execute(
-        f"SELECT (({num} - ((({num} % {den}) + {den}) % {den})) // {den})"
+        "SELECT ((n - (((n % d) + d) % d)) // d) FROM "
+        f"(SELECT CAST({num} AS BIGINT) AS n, CAST({den} AS BIGINT) AS d)"
     ).fetchone()
     assert g == h, (s, c, si, nd, g, h)
     # the integer result IS the half-up rounding of the exact rational
