@@ -99,3 +99,27 @@ def test_q2_routed_matches_scan_path(spark):
         for k in [k for k in memo if k[0] == key]:
             del memo[k]
     assert routed == bare
+
+
+def test_session_float_max_scans_once_then_serves_from_memo(spark):
+    """Bare-session q2 path: the first call pays one pruned scan, later calls are
+    dict lookups (the session IS the stat store; fixtures are immutable per session)."""
+    from rubix_spark import catalog
+    from rubix_spark.sources.stats import session_float_max
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = catalog.table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    # start clean in case another test populated the memo
+    getattr(spark, "_rubix_float_max_memo", {}).pop((sf_dir, "lineitem"), None)
+    first = session_float_max(spark, sf_dir, "lineitem", cols, li)
+    assert set(first) == set(cols)
+    memo = spark._rubix_float_max_memo[(sf_dir, "lineitem")]
+    # poison the DataFrame: a second call must NOT touch it if the memo serves
+    class Boom:
+        def agg(self, *a, **k):
+            raise AssertionError("re-scanned despite memo")
+
+    second = session_float_max(spark, sf_dir, "lineitem", cols, Boom())
+    assert second == first
+    assert memo == spark._rubix_float_max_memo[(sf_dir, "lineitem")]
