@@ -84,6 +84,10 @@ def _int_hundredths(s: Column, scale: int) -> Column:
     hundredth. floor division is (t - pmod(t, f)) div f — pmod normalizes the
     remainder non-negative so the truncating div IS floor for either sign (verified
     cross-engine vs DuckDB `((t%f)+f)%f` and Python // at the int64 boundary)."""
+    if scale < 2:
+        raise ValueError(f"_int_hundredths needs scale >= 2 (got {scale}); a smaller "
+                         "scale would make f = 10**(scale-2) a float and silently "
+                         "push the modular arithmetic into float space")
     f = 10 ** (scale - 2)
     if f == 1:
         return s
@@ -162,6 +166,9 @@ def duck_unit_sum(expr: str, scale: int = 4) -> str:
 def duck_money_from_units(s_sql: str, scale: int = 4) -> str:
     """DuckDB SQL: integer half-up hundredths finalize of a unit sum (matches
     _int_hundredths + the int->double conversion; NULL sum propagates)."""
+    if scale < 2:
+        raise ValueError(f"duck_money_from_units needs scale >= 2 (got {scale}); a "
+                         "smaller scale would emit float modular SQL ('% 0.1')")
     f = 10 ** (scale - 2)
     if f == 1:
         return f"CAST(({s_sql}) AS DOUBLE) / 100"

@@ -151,7 +151,14 @@ def catalog_max(spark, table: str, cols: list[str]) -> dict[str, float]:
             memo[key] = None
             try:
                 rows = spark.sql(f"DESCRIBE EXTENDED {table} {col}").collect()
-            except Exception:
+            except Exception as e:
+                # Memoize the scan fallback ONLY for the expected "no such
+                # table/column" answer (AnalysisException); a transient Py4J or
+                # session hiccup must propagate, not silently pin the fallback
+                # for the session's lifetime (ADVICE r8).
+                if type(e).__name__ != "AnalysisException":
+                    del memo[key]
+                    raise
                 rows = []
             for r in rows:
                 if (r[0] or "").strip().lower() == "max" and r[1] not in (None, "NULL"):

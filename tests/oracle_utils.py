@@ -115,9 +115,28 @@ def compare_tolerant(spark_df, oracle: str, sf_dir: str, atol: float = 1e-3) -> 
     order = [i for i, c in enumerate(sc) if c not in floatish] + [
         i for i, c in enumerate(sc) if c in floatish
     ]
+    float_idx = {i for i, c in enumerate(sc) if c in floatish}
 
     def _key(t):
-        return tuple("" if t[i] is None else str(t[i]) for i in order)
+        # Float tiebreakers sort on their ATOL-GRANULARITY quantization, not
+        # str(float) (ADVICE r8): two rows tied on every exact column whose float
+        # cells differ within atol would otherwise order differently per engine
+        # and misalign the positional zip. Quantized, within-atol values collapse
+        # to (at worst adjacent) buckets, and cell_ok's atol band absorbs any
+        # residual boundary straddle.
+        parts = []
+        for i in order:
+            v = t[i]
+            if v is None:
+                parts.append("")
+            elif i in float_idx:
+                try:
+                    parts.append(f"{round(float(v) / atol):+021d}")
+                except (TypeError, ValueError, OverflowError):
+                    parts.append(str(v))
+            else:
+                parts.append(str(v))
+        return tuple(parts)
 
     s_can = sorted(s_can, key=_key)
     o_can = sorted(o_can, key=_key)

@@ -78,14 +78,20 @@ def main() -> None:
         status = "MATCH" if entry.get("match") else ("rows-only" if q.oracle is None else "MISMATCH")
         print(f"{name}: {status} rows={entry['rows']} spark={entry['spark_sec']}s", flush=True)
 
+    # all_match speaks ONLY for entries that were actually compared (have an
+    # oracle); rows-only entries must not inflate the headline bool (ADVICE r8).
+    compared = [e for e in results.values() if "match" in e]
     out = {
         "sf_dir": args.sf_dir,
         "queries": results,
-        "all_match": all(e.get("match", True) for e in results.values()),
+        "n_compared": len(compared),
+        "n_rows_only": len(results) - len(compared),
+        "all_match": bool(compared) and all(e["match"] for e in compared),
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps({"all_match": out["all_match"], "n": len(results)}))
+    print(json.dumps({"all_match": out["all_match"], "n": len(results),
+                      "n_compared": out["n_compared"]}))
     spark.stop()
 
 
