@@ -180,26 +180,16 @@ def q20_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q30_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.queries.extended import _q30_brand_rollup
+
     t = catalog.load(spark, sf_dir, ("lineitem", "orders", "part"))
     li = t["lineitem"].select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
     s = li.where(F.col("l_returnflag") == "R").unionByName(
         li.where(F.col("l_returnflag") != "R")
     )
-    y = (
-        s.join(t["orders"].select("o_orderkey", "o_orderdate"),
-               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.year("o_orderdate").cast("int").alias("yr"), F.col("p_brand").alias("brand"))
-        # same long fast-path sum as the graded body (round-7) — the ablation differs
-        # only in LAYOUT, so the expression improvements ride along
-        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias("s"))
-    )
-    w = Window.partitionBy("brand").orderBy("yr")
-    d = y.select("brand", "yr", "s", F.lag("s").over(w).alias("ps"))
-    # round-8: exact hundredth longs end-to-end, one int->double per output value
-    return d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps"))).select(
-        "brand", "yr",
-        (F.col("ps").cast("double") / F.lit(100)).alias("prev_qty"),
-        (F.col("s").cast("double") / F.lit(100)).alias("cur_qty"),
-        ((F.col("s") - F.col("ps")).cast("double") / F.lit(100)).alias("delta"),
-    )
+    # same shared tail as the graded body (_q30_brand_rollup: long fast-path sum +
+    # round-9 size-adaptive brand-dictionary probe) — the ablation differs only in
+    # LAYOUT, so expression/probe improvements ride along
+    merged = s.join(t["orders"].select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+    return _q30_brand_rollup(spark, sf_dir, merged, t["part"])

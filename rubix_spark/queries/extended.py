@@ -787,6 +787,100 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("*", F.rank().over(w).alias("rk")).where(F.col("rk") <= 5)
 
 
+def brand_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand_key, bid) dictionary over part's distinct brands — the narrow-probe
+    rule (q4/q29/q19) applied to q30's 2-6M-entry part probe: the INT bid rides
+    through the fact-stream probe and the group key; the brand STRING attaches on
+    the ~175-row aggregate. Measured −19% on q30 at sf30 (where the probe is 5.1 s
+    of 7.9 s — tools/proto_q30_dict.py), −2.5%/−5% at sf10/sf1, rows identical.
+
+    The distinct-brand list is collected ONCE per (session, sf_dir) and memoized
+    (bounded ~25-row collect — the catalog.table / q2 stat-store contract:
+    fixtures are immutable per session); every later build is a local ~25-row
+    DataFrame with zero jobs. bid is deterministic: 1 + rank in the NULLS-FIRST
+    sorted brand list (== dense_rank over brand). brand_key is a FRESH name
+    (invariant 12 — both dictionary consumers derive from the same part scan)."""
+    memo = getattr(spark, "_rubix_brand_dict_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_brand_dict_memo = memo
+    key = sf_dir.rstrip("/")
+    if key not in memo:
+        rows = (
+            catalog.table(spark, sf_dir, "part").select("p_brand").distinct().collect()
+        )
+        brands = sorted((r[0] for r in rows), key=lambda b: (b is not None, b))
+        memo[key] = brands
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("brand_key", StringType(), True),
+        StructField("bid", IntegerType(), False),
+    ])
+    return spark.createDataFrame(
+        [(b, i + 1) for i, b in enumerate(memo[key])], schema
+    )
+
+
+def brand_probe(part: DataFrame, bdict: DataFrame) -> DataFrame:
+    """(p_partkey, bid) probe side for the fact join — NULL-safe on brand so a
+    NULL-brand part keeps its group exactly as the oracle's GROUP BY does."""
+    return (
+        part.select("p_partkey", "p_brand")
+        .join(F.broadcast(bdict), F.col("p_brand").eqNullSafe(F.col("brand_key")))
+        .select("p_partkey", "bid")
+    )
+
+
+def _q30_brand_rollup(spark: SparkSession, sf_dir: str, merged: DataFrame,
+                      part: DataFrame) -> DataFrame:
+    """Shared tail of q30's two layout bodies: (yr, brand) quantity rollup over
+    ``merged`` (l_partkey, l_quantity, o_orderdate) + lag-window decline report.
+
+    Size-adaptive dictionary probe (round-9, invariant 16's both-points rule):
+    when part is big enough that the brand-string probe dominates, brand rides
+    as an INT dictionary id through the probe, the group key AND the lag-window
+    partition key, and the string attaches on the ~100 surviving rows
+    (brand_dictionary docstring: −19% at sf30, −2.5/−5% at sf10/sf1). Below the
+    threshold the nested dict broadcast build costs more than it saves (~+0.35 s
+    at sf0.1's 20k parts, same-session A/B) and the plain string probe wins —
+    RUBIX_Q30_DICT_MIN_PART_ROWS (default 100k) sits between the measured points
+    (20k loses, 200k wins). bid<->brand is bijective, so lag-over-bid ==
+    lag-over-brand."""
+    import os
+
+    from pyspark.sql import Window
+
+    from rubix_spark.sources.stats import parquet_row_count
+
+    min_parts = int(os.environ.get("RUBIX_Q30_DICT_MIN_PART_ROWS", 100_000))
+    use_dict = parquet_row_count(f"{sf_dir.rstrip('/')}/part.parquet") >= min_parts
+    qsum = F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias("s")
+    if use_dict:
+        bdict = brand_dictionary(spark, sf_dir)
+        probe, key = brand_probe(part, bdict), "bid"
+    else:
+        probe, key = part.select("p_partkey", F.col("p_brand").alias("brand")), "brand"
+    y = (
+        merged.join(F.broadcast(probe), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"), key)
+        .agg(qsum)
+    )
+    w = Window.partitionBy(key).orderBy("yr")
+    d = y.select(key, "yr", "s", F.lag("s").over(w).alias("ps"))
+    # round-8: the lag/compare/delta all ride the exact hundredth longs; one
+    # int->double conversion per emitted value (never a sum through double space)
+    out = d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps")))
+    if use_dict:
+        out = out.join(F.broadcast(bdict), "bid").withColumn("brand", F.col("brand_key"))
+    return out.select(
+        "brand", "yr",
+        (F.col("ps").cast("double") / F.lit(100)).alias("prev_qty"),
+        (F.col("s").cast("double") / F.lit(100)).alias("cur_qty"),
+        ((F.col("s") - F.col("ps")).cast("double") / F.lit(100)).alias("delta"),
+    )
+
+
 @register(
     "q30_yoy_delta",
     """
@@ -831,8 +925,6 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from pyspark.sql import Window
-
     from rubix_spark.queries import REGISTRY
     from rubix_spark.sources.bucketing import bucketed_table
     from rubix_spark.sources.stats import parquet_row_count
@@ -856,25 +948,12 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prototyped and REJECTED: it buys only 0.11 s more (2.69 s) because the part
     # probe + (yr,brand) agg — not the merge join — dominate; not worth a third
     # 60M-row layout (BASELINE.md §4).
-    y = (
+    # Round-9 (r8 verdict #1): the brand-dictionary probe + decline tail are the
+    # shared _q30_brand_rollup (size-adaptive int-id probe; see its docstring).
+    merged = (
         li.where(F.col("l_returnflag").isNotNull())
         .select("l_orderkey", "l_partkey", "l_quantity")
         .join(orders.select("o_orderkey", "o_orderdate").hint("merge"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
-              F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(
-            F.year("o_orderdate").cast("int").alias("yr"), F.col("p_brand").alias("brand")
-        )
-        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias("s"))
     )
-    w = Window.partitionBy("brand").orderBy("yr")
-    d = y.select("brand", "yr", "s", F.lag("s").over(w).alias("ps"))
-    # round-8: the lag/compare/delta all ride the exact hundredth longs; one
-    # int->double conversion per emitted value (never a sum through double space)
-    return d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps"))).select(
-        "brand", "yr",
-        (F.col("ps").cast("double") / F.lit(100)).alias("prev_qty"),
-        (F.col("s").cast("double") / F.lit(100)).alias("cur_qty"),
-        ((F.col("s") - F.col("ps")).cast("double") / F.lit(100)).alias("delta"),
-    )
+    return _q30_brand_rollup(spark, sf_dir, merged, t["part"])
