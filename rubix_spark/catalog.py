@@ -47,13 +47,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # session runs more than ~5 distinct heavy plans — every re-run then pays
     # Janino re-compilation AND a cold JIT profile on the regenerated class
     # (measured at sf10: q13 1.6 s inside a 9-query suite vs 0.35 s once the
-    # cache holds; 10k entries restored warm passes to isolated-run times).
-    # JVM-global Guava cache sized at FIRST codegen, so set it before any plan
-    # runs; a few-KB generated class per entry -> ~tens of MB at 5000.
+    # cache holds; first measured at 10k entries, re-confirmed at the shipped
+    # 5000 — both restore warm passes to isolated-run times).
+    # VERIFIED STATIC on this Spark build (ADVICE r9): spark.conf.set raises
+    # CANNOT_MODIFY_STATIC_CONFIG, so only session.py-built sessions (the bench /
+    # artifact path, where it rides the launch SparkConf) get the sized cache.
+    # Bare driver-provided sessions keep the 100-entry default — their work is
+    # untimed correctness, where thrash costs latency, not answers. The attempt
+    # below is kept for builds where the conf is runtime-settable.
     try:
         spark.conf.set("spark.sql.codegen.cache.maxEntries", "5000")
     except Exception:
-        pass  # older/newer Spark without the conf: keep the default
+        pass  # static conf (this build) or conf absent: keep the session default
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -144,11 +144,15 @@ def footer_topk_cutoff(path: str, col: str, k: int) -> int | None:
         if field is None or not pa.types.is_integer(field.type):
             return None
         md = pf.metadata
+        if md.num_row_groups == 0:
+            continue  # zero-row-group part file (ADVICE r9): nothing to count
         idx = next(
             (i for i in range(md.row_group(0).num_columns)
-             if md.num_row_groups and md.row_group(0).column(i).path_in_schema == col),
+             if md.row_group(0).column(i).path_in_schema == col),
             None,
         )
+        if idx is None:  # column absent from the physical layout: no trusted bound
+            return None
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             if g.num_rows == 0:

@@ -149,12 +149,41 @@ def compare_tolerant(spark_df, oracle: str, sf_dir: str, atol: float = 1e-3) -> 
         except (TypeError, ValueError):
             return False
 
-    bad = [
-        (i, a, b)
-        for i, (ra, rb) in enumerate(zip(s_can, o_can))
-        for a, b in zip(ra, rb)
-        if not cell_ok(a, b)
-    ]
+    def row_ok(ra, rb) -> bool:
+        return all(cell_ok(a, b) for a, b in zip(ra, rb))
+
+    # Rows tied on every EXACT column are compared as a MULTISET with greedy
+    # matching (ADVICE r9): the quantized float tiebreaker can still split
+    # within-atol values into adjacent buckets, so a positional zip inside a tied
+    # group is order-sensitive at bucket boundaries. Groups are contiguous after
+    # the exact-dominant sort; within one, each spark row claims the first
+    # unclaimed oracle row within atol (groups are small — ties on all exact
+    # columns — so O(g^2) is fine).
+    def _exact_key(t):
+        return tuple("" if t[i] is None else str(t[i]) for i in order
+                     if i not in float_idx)
+
+    bad: list[tuple] = []
+    i = 0
+    while i < len(s_can):
+        j = i + 1
+        ek = _exact_key(s_can[i])
+        while j < len(s_can) and _exact_key(s_can[j]) == ek:
+            j += 1
+        if _exact_key(o_can[i]) != ek or (j < len(o_can) and _exact_key(o_can[j]) == ek):
+            # group boundaries disagree -> exact columns differ; positional report
+            bad.extend((i, a, b) for a, b in zip(s_can[i], o_can[i]) if not cell_ok(a, b))
+            i += 1
+            continue
+        unclaimed = list(range(i, j))
+        for si in range(i, j):
+            hit = next((u for u in unclaimed if row_ok(s_can[si], o_can[u])), None)
+            if hit is None:
+                bad.extend((si, a, b) for a, b in zip(s_can[si], o_can[si])
+                           if not cell_ok(a, b))
+            else:
+                unclaimed.remove(hit)
+        i = j
     return [f"values differ beyond atol={atol}: sample={bad[:3]}"] if bad else []
 
 

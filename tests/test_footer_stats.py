@@ -152,3 +152,35 @@ def test_footer_topk_cutoff_sorted_and_unsorted(tmp_path):
     assert footer_topk_cutoff(sorted_path, "v", 10) is None       # float: never
     assert footer_topk_cutoff(sorted_path, "nope", 10) is None    # absent column
     assert footer_topk_cutoff(sorted_path, "k", n + 1) is None    # not enough rows
+
+
+def test_footer_topk_cutoff_zero_row_group_part(tmp_path):
+    """ADVICE r9: a zero-row-group part file in a directory fixture must be skipped
+    (the old eager md.row_group(0) genexp raised), and the bound must still come
+    from the populated parts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rubix_spark.sources.stats import footer_topk_cutoff
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    # writer opened and closed with no batches -> a footer with ZERO row groups
+    # (pq.write_table of an empty table instead writes one 0-row group)
+    schema = pa.schema([("k", pa.int64())])
+    pq.ParquetWriter(str(d / "part-0.parquet"), schema).close()
+    assert pq.ParquetFile(str(d / "part-0.parquet")).metadata.num_row_groups == 0
+    pq.write_table(pa.table({"k": list(range(100))}), str(d / "part-1.parquet"),
+                   row_group_size=10)
+    cut = footer_topk_cutoff(str(d), "k", 10)
+    assert cut == 9
+    # an all-empty directory: no rows at all -> None, not an IndexError
+    e = tmp_path / "empty.parquet"
+    e.mkdir()
+    pq.ParquetWriter(str(e / "part-0.parquet"), schema).close()
+    assert footer_topk_cutoff(str(e), "k", 1) is None
+    # one 0-row row group (what pq.write_table emits for an empty table) is also
+    # fine: skipped by the g.num_rows == 0 guard, bound still from populated parts
+    pq.write_table(pa.table({"k": pa.array([], pa.int64())}),
+                   str(d / "part-2.parquet"))
+    assert footer_topk_cutoff(str(d), "k", 10) == 9
