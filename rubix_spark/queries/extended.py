@@ -365,16 +365,16 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey")
     )
-    # NULL-brand guard (the q13/q5 ADVICE class): the oracle's equi-joins on item
-    # silently drop NULL-brand groups; the conditional agg would keep them
-    part = (
-        catalog.table(spark, sf_dir, "part")
-        .where(F.col("p_brand").isNotNull())
-        .select("p_partkey", "p_brand")
-    )
+    # Round-10: the part probe is GONE — the denormalized layout's l_brand_bid
+    # (sources/bucketing._denorm_build) IS the item key. The IS NOT NULL pushed
+    # filter reproduces the oracle's part inner join (NULL/missing partkeys
+    # materialize NULL bids; whole (ok, pk) groups drop together, so has_r and the
+    # channel sums of surviving groups are untouched). NULL-brand groups are
+    # excluded by bid before the top-100 sort (see the tail).
     base = (
-        li.select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
-                  "l_quantity", "l_extendedprice")
+        li.select("l_orderkey", "l_partkey", "l_brand_bid", "l_linenumber",
+                  "l_returnflag", "l_quantity", "l_extendedprice")
+        .where(F.col("l_brand_bid").isNotNull())
         .join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
     )
     qL = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
@@ -385,13 +385,11 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     def chan(name: str, i: int, expr):
         return F.sum(F.when(sale & (ch == i), expr)).alias(name)
 
-    # part joins AFTER the (orderkey, partkey) aggregate (the q4 narrow-probe lesson):
-    # the brand string otherwise rides through 8.6M pre-agg rows and a max() per
-    # group; probing the ~8.4M GROUP rows instead measured 2.94 -> 2.78 s at sf10.
-    # Same result: the inner join drops NULL-partkey groups post-agg exactly as the
-    # pre-agg join dropped their rows.
+    # the (orderkey, partkey) aggregate rides the bid as a FREE extra group key
+    # (functionally dependent on l_partkey — identical groups, int-only hash key);
+    # no dimension join anywhere until the <=100-row attach at the end
     g1 = (
-        base.groupBy("l_orderkey", "l_partkey")
+        base.groupBy("l_orderkey", "l_partkey", "l_brand_bid")
         .agg(
             F.max("o_custkey").alias("cust"),  # constant within the order
             F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
@@ -404,10 +402,8 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
             chan("cs_q", 2, qL), chan("cs_p", 2, pL),
         )
         .where(F.col("has_r") == 0)  # the CTEs' LEFT JOIN returns ... WHERE IS NULL
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .withColumnRenamed("p_brand", "item")
     )
-    g2 = g1.groupBy("item", "cust").agg(
+    g2 = g1.groupBy("l_brand_bid", "cust").agg(
         *[F.sum(c).alias(c) for c in ("ss_n", "ss_q", "ss_p", "ws_q", "ws_p", "cs_q", "cs_p")]
     )
 
@@ -418,14 +414,26 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     other_q = F.coalesce(F.col("ws_q"), F.lit(0)) + F.coalesce(F.col("cs_q"), F.lit(0))
     other_p = F.coalesce(F.col("ws_p"), F.lit(0)) + F.coalesce(F.col("cs_p"), F.lit(0))
+    from rubix_spark.sources.dictionaries import brand_dictionary, null_brand_bid
+
+    # bid order == brand order (the dictionary is the NULLS-FIRST sorted brand
+    # rank), so the top-100 TakeOrdered compares ints, not strings; the brand
+    # string attaches on the exactly-100 surviving rows. NULL-brand groups (the
+    # q13/q5 ADVICE class — the oracle's equi-join on item drops them) must go
+    # BEFORE the limit: their bid sorts first and would steal top-100 slots.
+    bdict = brand_dictionary(spark, sf_dir)
+    nb = null_brand_bid(spark, sf_dir)
+    sel = (
+        (F.col("ss_n") > 0)
+        & (F.coalesce(F.col("ws_q"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("cs_q"), F.lit(0)) > 0)
+    )
+    if nb is not None:
+        sel = sel & (F.col("l_brand_bid") != nb)
     return (
-        g2.where(
-            (F.col("ss_n") > 0)
-            & (F.coalesce(F.col("ws_q"), F.lit(0)) > 0)
-            & (F.coalesce(F.col("cs_q"), F.lit(0)) > 0)
-        )
+        g2.where(sel)
         .select(
-            F.lit(1995).cast("int").alias("yr"), "item", "cust",
+            F.lit(1995).cast("int").alias("yr"), "l_brand_bid", "cust",
             round_det(d2(F.col("ss_q"))).alias("ss_qty"),
             round_det(d2(F.col("ss_p"))).alias("ss_sp"),
             round_det(d2(F.col("ws_q"))).alias("ws_qty"),
@@ -436,8 +444,11 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d2(F.col("ss_q")) / d2(F.coalesce(F.col("ws_q") + F.col("cs_q"), F.lit(100)))
             ).alias("ratio"),
         )
-        .orderBy("yr", "item", "cust")
+        .orderBy("yr", "l_brand_bid", "cust")
         .limit(100)
+        .join(F.broadcast(bdict), F.col("l_brand_bid") == F.col("bid"))
+        .select("yr", F.col("brand_key").alias("item"), "cust", "ss_qty", "ss_sp",
+                "ws_qty", "cs_qty", "other_qty", "other_sp", "ratio")
     )
 
 
@@ -663,42 +674,48 @@ def x10_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q29 CTE, pre-checkpoint (exposed so plan tests can assert its join strategy)."""
-    from rubix_spark.sources.bucketing import bucketed_table
+    """The q29 CTE, pre-checkpoint (exposed so plan tests can assert its join strategy).
 
-    t = catalog.load(spark, sf_dir, ("customer", "nation", "region", "supplier"))
-    # round-6: the fact join reads the orderkey-bucketed warehouse layout (merge-pinned
-    # per invariant 17) — the one wide shuffle the round-5 plan had left is gone
-    t["lineitem"] = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
-    t["orders"] = bucketed_table(spark, sf_dir, "orders", "o_orderkey").hint("merge")
-    # dimension pre-filter (invariant 19): region IN (...) reaches customer through
-    # nation BEFORE the fact join, so the filtered (custkey, nation) map broadcasts
-    # and BOTH custkey exchanges (join + re-shuffled customer) disappear; the only
-    # wide exchange left below the CTE is the orderkey fact join + the much smaller
-    # partial-aggregate shuffle. Forced broadcast is the right call while the
-    # filtered customer map fits executors (~16 B/customer); at the SF where it no
-    # longer does, drop the hint and the planner reverts to the shuffle join.
+    Round-10: both dimension probes are gone — the denormalized fact layouts
+    (sources/bucketing._denorm_build) carry the keys the probes used to fetch:
+    - the customer broadcast (region pre-filter + o_custkey probe over the 60M-row
+      merge output) becomes a pushed In() filter on orders' materialized
+      o_cust_natkey, and the group key is o_custkey itself (== c_custkey under the
+      oracle's equi-join);
+    - the supplier inner join fetched NOTHING (shape parity with query64) — with
+      s_suppkey unique it is a semi-join, which the materialized l_supp_natkey
+      expresses as an IS NOT NULL pushed filter (NULL/missing suppkeys drop exactly
+      as the oracle's inner join drops them).
+    The only wide shuffle left below the CTE is the exchange-free orderkey SMJ's
+    downstream partial-aggregate. At sf1000 the replaced customer broadcast
+    (~90M filtered entries) would be infeasible; the pushed filter never grows."""
+    from rubix_spark.sources.bucketing import bucketed_table
+    from rubix_spark.sources.dictionaries import region_nationkeys
+
+    nks = region_nationkeys(spark, sf_dir, ("ASIA", "EUROPE", "AMERICA"))
+    li = (
+        bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+        .select("l_orderkey", "l_supp_natkey", "l_extendedprice", "l_discount")
+        .where(F.col("l_supp_natkey").isNotNull())
+    )
+    orders = (
+        bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_cust_natkey", "o_orderdate")
+        .where(F.col("o_cust_natkey").isin(nks))
+        .hint("merge")  # invariant 17: pruned size estimates would broadcast-flip
+    )
     nr = (
-        t["nation"]
-        .join(F.broadcast(t["region"].where(F.col("r_name").isin("ASIA", "EUROPE", "AMERICA"))),
+        catalog.table(spark, sf_dir, "nation")
+        .join(F.broadcast(catalog.table(spark, sf_dir, "region")
+                          .where(F.col("r_name").isin("ASIA", "EUROPE", "AMERICA"))),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name")
     )
-    # NARROW probe payload (the q4 lesson): the customer broadcast carries the LONG
-    # c_nationkey, not the nation string — the string otherwise rides through 36M
-    # probe rows AND the 5.5M-group hash key; the name attaches via a broadcast join
-    # on the grouped output instead (measured 2.24 -> 2.09 s on the CTE at sf10)
-    cust = (
-        t["customer"]
-        .join(F.broadcast(nr.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("c_nationkey").alias("nk"))
-    )
     g = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.col("c_custkey"), F.col("nk"), F.year("o_orderdate").alias("yr"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"),
+                 F.col("o_cust_natkey").alias("nk"),
+                 F.year("o_orderdate").alias("yr"))
         # long ten-thousandths over the ~36M-row (sf10) post-join stream — the oracle's
         # per-row FLOOR quantization makes the long sum bit-identical to the decimal
         # sum, without a BigDecimal cast per row (the q28/q4 lesson)
@@ -787,49 +804,10 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("*", F.rank().over(w).alias("rk")).where(F.col("rk") <= 5)
 
 
-def brand_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(brand_key, bid) dictionary over part's distinct brands — the narrow-probe
-    rule (q4/q29/q19) applied to q30's 2-6M-entry part probe: the INT bid rides
-    through the fact-stream probe and the group key; the brand STRING attaches on
-    the ~175-row aggregate. Measured −19% on q30 at sf30 (where the probe is 5.1 s
-    of 7.9 s — tools/proto_q30_dict.py), −2.5%/−5% at sf10/sf1, rows identical.
-
-    The distinct-brand list is collected ONCE per (session, sf_dir) and memoized
-    (bounded ~25-row collect — the catalog.table / q2 stat-store contract:
-    fixtures are immutable per session); every later build is a local ~25-row
-    DataFrame with zero jobs. bid is deterministic: 1 + rank in the NULLS-FIRST
-    sorted brand list (== dense_rank over brand). brand_key is a FRESH name
-    (invariant 12 — both dictionary consumers derive from the same part scan)."""
-    memo = getattr(spark, "_rubix_brand_dict_memo", None)
-    if memo is None:
-        memo = {}
-        spark._rubix_brand_dict_memo = memo
-    key = sf_dir.rstrip("/")
-    if key not in memo:
-        rows = (
-            catalog.table(spark, sf_dir, "part").select("p_brand").distinct().collect()
-        )
-        brands = sorted((r[0] for r in rows), key=lambda b: (b is not None, b))
-        memo[key] = brands
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
-
-    schema = StructType([
-        StructField("brand_key", StringType(), True),
-        StructField("bid", IntegerType(), False),
-    ])
-    return spark.createDataFrame(
-        [(b, i + 1) for i, b in enumerate(memo[key])], schema
-    )
-
-
-def brand_probe(part: DataFrame, bdict: DataFrame) -> DataFrame:
-    """(p_partkey, bid) probe side for the fact join — NULL-safe on brand so a
-    NULL-brand part keeps its group exactly as the oracle's GROUP BY does."""
-    return (
-        part.select("p_partkey", "p_brand")
-        .join(F.broadcast(bdict), F.col("p_brand").eqNullSafe(F.col("brand_key")))
-        .select("p_partkey", "bid")
-    )
+# Round-10: the dictionary moved to sources/dictionaries.py so the denormalized
+# fact layouts (sources/bucketing.py) can share the bid assignment rule with the
+# query-side attach; re-exported here for existing importers.
+from rubix_spark.sources.dictionaries import brand_dictionary, brand_probe  # noqa: E402,F401
 
 
 def _q30_brand_rollup(spark: SparkSession, sf_dir: str, merged: DataFrame,
@@ -866,11 +844,7 @@ def _q30_brand_rollup(spark: SparkSession, sf_dir: str, merged: DataFrame,
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"), key)
         .agg(qsum)
     )
-    w = Window.partitionBy(key).orderBy("yr")
-    d = y.select(key, "yr", "s", F.lag("s").over(w).alias("ps"))
-    # round-8: the lag/compare/delta all ride the exact hundredth longs; one
-    # int->double conversion per emitted value (never a sum through double space)
-    out = d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps")))
+    out = _q30_decline_tail(y, key)
     if use_dict:
         out = out.join(F.broadcast(bdict), "bid").withColumn("brand", F.col("brand_key"))
     return out.select(
@@ -879,6 +853,18 @@ def _q30_brand_rollup(spark: SparkSession, sf_dir: str, merged: DataFrame,
         (F.col("s").cast("double") / F.lit(100)).alias("cur_qty"),
         ((F.col("s") - F.col("ps")).cast("double") / F.lit(100)).alias("delta"),
     )
+
+
+def _q30_decline_tail(y: DataFrame, key: str) -> DataFrame:
+    """(yr, key, s) aggregate -> rows whose quantity declined vs the prior year.
+    The prior-year lookup is a LAG window per key (the q9 lesson); the lag/compare
+    ride the exact hundredth longs — one int->double conversion per emitted value
+    (never a sum through double space, round-8)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("yr")
+    d = y.select(key, "yr", "s", F.lag("s").over(w).alias("ps"))
+    return d.where(F.col("ps").isNotNull() & (F.col("s") < F.col("ps")))
 
 
 @register(
@@ -937,23 +923,36 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     if parquet_row_count(f"{sf_dir.rstrip('/')}/lineitem.parquet") < min_rows:
         return REGISTRY["q30_yoy_delta_shuffle"].builder(spark, sf_dir)
 
+    # Round-10: the 2-6M-entry part probe is GONE — the denormalized lineitem
+    # layout carries l_brand_bid materialized at ingest (the dictionary id the
+    # round-9 probe computed per run; sources/bucketing._denorm_build), so the
+    # rollup groups directly on the int and the brand string attaches on the
+    # ~175-row decline output. The bid filter (IS NOT NULL) reproduces the
+    # oracle's inner part join: NULL/missing partkeys materialize NULL bids
+    # (p_partkey unique, so the ingest left join never changes row counts).
+    # The per-group quantity total sums integer HUNDREDTHS as BIGINT (round-7:
+    # floor(q*100+0.5) == CAST(q AS DECIMAL(6,2)) exactly for the <=2-decimal
+    # column); decline tail in _q30_decline_tail.
+    from rubix_spark.sources.dictionaries import brand_dictionary
+
     li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
-    t = catalog.load(spark, sf_dir, ("part",))
-    # Round-7: the per-group quantity total sums integer HUNDREDTHS as BIGINT (the
-    # money_sum_fast form — l_quantity is a raw <=2-decimal column, so floor(q*100+0.5)
-    # == CAST(q AS DECIMAL(6,2)) exactly); the lag/comparison ride the longs and the
-    # decimal conversion happens once per surviving row (3.59 -> 2.80 s at sf10,
-    # 1.57x DuckDB). A denormalized lineitem+o_orderdate bucketed artifact was
-    # prototyped and REJECTED: it buys only 0.11 s more (2.69 s) because the part
-    # probe + (yr,brand) agg — not the merge join — dominate; not worth a third
-    # 60M-row layout (BASELINE.md §4).
-    # Round-9 (r8 verdict #1): the brand-dictionary probe + decline tail are the
-    # shared _q30_brand_rollup (size-adaptive int-id probe; see its docstring).
     merged = (
-        li.where(F.col("l_returnflag").isNotNull())
-        .select("l_orderkey", "l_partkey", "l_quantity")
+        li.where(F.col("l_returnflag").isNotNull() & F.col("l_brand_bid").isNotNull())
+        .select("l_orderkey", "l_brand_bid", "l_quantity")
         .join(orders.select("o_orderkey", "o_orderdate").hint("merge"),
               F.col("l_orderkey") == F.col("o_orderkey"))
     )
-    return _q30_brand_rollup(spark, sf_dir, merged, t["part"])
+    y = (
+        merged.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
+                       F.col("l_brand_bid").alias("bid"))
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias("s"))
+    )
+    bdict = brand_dictionary(spark, sf_dir)
+    out = _q30_decline_tail(y, "bid").join(F.broadcast(bdict), "bid")
+    return out.select(
+        F.col("brand_key").alias("brand"), "yr",
+        (F.col("ps").cast("double") / F.lit(100)).alias("prev_qty"),
+        (F.col("s").cast("double") / F.lit(100)).alias("cur_qty"),
+        ((F.col("s") - F.col("ps")).cast("double") / F.lit(100)).alias("delta"),
+    )

@@ -186,94 +186,73 @@ _Q4_ORACLE = f"""
     "q4_star_join",
     _Q4_ORACLE,
     doc=(
-        "Headline star join over the bucketed warehouse layout (round-6: the graded row "
-        "now RUNS the layout its round-5 twin only proved). lineitem and orders are "
-        "stored bucketed+sorted by orderkey (one-time ingest cost, fingerprint-guarded "
-        "vs fixture regeneration), so the only big-big join plans as SMJ with ZERO "
-        "Exchange and ZERO Sort — at 100 TB the fact tables are read in place instead "
-        "of re-shuffled per run. The merge hint is load-bearing (invariant 17): the "
-        "planner's column-pruned size estimate otherwise sneaks orders under the "
-        "broadcast threshold at sf10 and builds a 15M-row broadcast (10.4 s vs 2.6 s). "
-        "supplier/nation/region/customer broadcast; region filter prunes pre-join. "
-        "Size-adaptive (round-7, the q5 pattern): below ~2M lineitem rows the "
-        "pinned SMJ's merge machinery costs more than the one broadcast stage AQE "
-        "builds over the raw scan (idle-measured toy-scale inversion, invariant 16: "
-        "0.73 vs 0.60 s at sf0.1, while the layout wins 0.87 vs 1.77 at sf1 and "
-        "2.14 vs 7.17 at sf10), so the branch keys on the parquet-footer row count. "
+        "Headline star join over the DENORMALIZED bucketed warehouse layout "
+        "(round-10): lineitem and orders are stored bucketed+sorted by orderkey WITH "
+        "the FK->dimension-key closure materialized at ingest (l_supp_natkey, "
+        "o_cust_natkey — sources/bucketing._denorm_build), so the query needs ZERO "
+        "dimension probes and ZERO broadcasts before the aggregate: both ASIA "
+        "membership filters push to the parquet scans as 5-element In() predicates "
+        "(the lineitem side shrinks 5x BEFORE the merge), the only big-big join is "
+        "an exchange-free zero-sort SMJ over the sorted buckets, and the one "
+        "Exchange in the plan carries the 5-group aggregate. Replaces the round-7 "
+        "probe plan (customer map into 15M orders rows + supplier map into the "
+        "11.8M-row SMJ output): measured 2.37 -> 0.57 s same-session at sf10. At "
+        "sf1000 the replaced customer broadcast (~150M entries) is infeasible — the "
+        "materialized int never stops being a local scan filter. Size-adaptive "
+        "(invariant 16, re-measured round-10): the old 2M-row toy-scale inversion "
+        "was the probe plan's broadcast-build cost and is GONE with the probes — "
+        "the layout now wins at sf0.1 too (0.50 vs 0.83 shuffle-first order, ties "
+        "worst case), so the threshold drops to 300k (sf0.1 rides the layout; "
+        "sf0.01 keeps the shuffle body on the driver's correctness scale, where "
+        "both branches stay oracle-exercised — tests/test_denorm_layout.py). "
         "Layout-less ablation: q4_star_join_shuffle."
     ),
 )
 def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Dimension pre-filter (round-5): push the region predicate THROUGH nation into
-    # customer and supplier before the fact join, so the customer probe drops 4/5 of
-    # the fact stream before the supplier probe and the broadcasts shrink 5x — the
-    # join-order transformation a CBO derives from the r_name filter; measured 1.4x at
-    # sf0.1 and 5x at sf10 vs probing unfiltered dims. The supplier nationkey equality
-    # rides as a post-join filter (s_suppkey is unique, so the single-long-key hash
-    # probe beats the composite-key relation).
     import os
 
     from rubix_spark.queries import REGISTRY
     from rubix_spark.sources.bucketing import bucketed_table
+    from rubix_spark.sources.dictionaries import region_nationkeys
     from rubix_spark.sources.stats import parquet_row_count
 
-    min_rows = int(os.environ.get("RUBIX_Q4_LAYOUT_MIN_ROWS", 2_000_000))
+    min_rows = int(os.environ.get("RUBIX_Q4_LAYOUT_MIN_ROWS", 300_000))
     if parquet_row_count(f"{sf_dir.rstrip('/')}/lineitem.parquet") < min_rows:
         return REGISTRY["q4_star_join_shuffle"].builder(spark, sf_dir)
 
-    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
-    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
-    t = catalog.load(spark, sf_dir, ("customer", "supplier", "nation", "region"))
+    asia = region_nationkeys(spark, sf_dir, ("ASIA",))
+    li = (
+        bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+        .select("l_orderkey", "l_supp_natkey", "l_extendedprice", "l_discount")
+        .where(F.col("l_supp_natkey").isin(asia))
+    )
+    o = (
+        bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+        .select("o_orderkey", "o_cust_natkey")
+        .where(F.col("o_cust_natkey").isin(asia))
+    )
     nr = (
-        t["nation"]
-        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+        catalog.table(spark, sf_dir, "nation")
+        .join(F.broadcast(catalog.table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name")
     )
-    cust = (
-        t["customer"]
-        .join(F.broadcast(nr.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "c_nationkey")
-    )
-    # NARROW probe payload (late round-7): the supplier broadcast carries only
-    # (s_suppkey, s_nationkey) — materializing n_name per probe row cost ~0.2 s at
-    # sf10 on the 11.8M-row SMJ output of which only 482k survive the nationkey
-    # filter; the name attaches via a broadcast join on the 5-row AGGREGATE instead.
-    supp = (
-        t["supplier"]
-        .join(F.broadcast(nr.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey")
-    )
-    # Probe placement (round-7): the customer probe moves INTO the orders side BEFORE
-    # the merge join — 15M probes instead of 60M (the broadcast join preserves the
-    # bucketed partitioning, so the SMJ stays exchange-free), and the join's output
-    # already carries c_nationkey. Decomposition at sf10: scans 0.46+0.18 s, SMJ +0.16,
-    # probes+agg the rest — the probes were the cost, not the join (2.30 -> 1.74 s).
-    # Probing suppliers on the LINEITEM side pre-merge measured WORSE (60M wide probes
-    # vs 11.8M post-merge — the q29 selective-AND-narrow rule cuts the other way here).
-    # Denormalized lineitem⋈orders artifact prototyped and REJECTED: 2.05 s (the scan
-    # of the wider table costs what the merge join costs — BASELINE.md §4).
-    # Pre-aggregating revenue per (orderkey, s_nationkey) inside the buckets before
-    # the merge (r7 verdict #4) also REJECTED: 2.36 vs 1.90 s interleaved at sf10 —
-    # ~1.3 surviving lines per group leaves nothing to collapse and the 9M-group
-    # hash agg outweighs the smaller merge input (tools/proto_q4_preagg.py).
-    o_f = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .select("o_orderkey", "c_nationkey")
-    )
+    # The natkey equality must stay a RESIDUAL condition of the orderkey SMJ:
+    # written as a plain EqualTo(attr, attr) Catalyst promotes it to a second join
+    # key, whose hashpartitioning(natkey, orderkey) no longer matches the bucket
+    # layout and re-shuffles BOTH fact sides (measured: Exchange+Sort each, 1.78 vs
+    # 0.57 s). (a - b) == 0 references both sides inside one expression, so it can
+    # only ever be an "other condition". Exact for ints; nationkeys are < 25.
     g = (
-        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(o_f.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .where(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy("s_nationkey")
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("l_supp_natkey") - F.col("o_cust_natkey")) == 0)
+        .groupBy("l_supp_natkey")
         # long ten-thousandths (money_sum_fast on the computed product — the oracle
         # quantizes per row with the same FLOOR form, so the long sum is bit-identical
         # to the decimal sum without the per-row BigDecimal cast; the q28 lesson)
         .agg(money_sum_fast(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
     )
-    return g.join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")).select(
+    return g.join(F.broadcast(nr), F.col("l_supp_natkey") == F.col("n_nationkey")).select(
         "n_name", "revenue"
     )
 
@@ -899,11 +878,18 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Join → aggregate → window rank; ranks computed over exact (decimal-summed) "
-        "totals so both engines agree. Round-6: orders AND customer both live in the "
-        "custkey-bucketed warehouse layout, so the customer join is a co-located SMJ "
-        "with zero exchanges — replacing the r5 broadcast of a (custkey, nation) map "
-        "that GREW with the fact table (|customer| rows: fine at sf10, a scale-killer "
-        "at 100x). The only shuffle left is the ~|nation x priority| partial-aggregate. "
+        "totals so both engines agree. Round-10: the customer join is GONE — the "
+        "denormalized orders layout (sources/bucketing._denorm_build) carries "
+        "o_cust_natkey materialized at ingest, so the whole pre-aggregate phase is "
+        "one scan + groupBy(natkey, priority) with a ~|nation x priority|-row "
+        "exchange; nation names attach on that aggregate. Replaces the round-6 "
+        "co-located custkey SMJ (which itself replaced a broadcast map that grew "
+        "with the fact table): merging 15M orders against 1.5M customers per run "
+        "just to fetch a nationkey is ingest work, not query work. Inner-join "
+        "semantics are preserved by the nation attach: unmatched/NULL custkeys "
+        "materialize NULL natkeys, whose groups the inner broadcast join drops "
+        "exactly as the oracle's customer+nation joins do (c_custkey is unique, so "
+        "the ingest left join never changes row counts). "
         "Layout-less ablation: q19_composed_shuffle."
     ),
 )
@@ -911,26 +897,17 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rubix_spark.fns import money_from_units
     from rubix_spark.sources.bucketing import bucketed_table
 
-    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
-    customer = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     nation = catalog.table(spark, sf_dir, "nation")
-    # NARROW probe payload (round-8, the q4/q29 bebb087 pattern): the customer side
-    # of the merge join carries only the LONG c_nationkey — the n_name string would
-    # otherwise ride every fact-stream probe row AND the 15M-row partial-aggregate
-    # hash key. The name attaches on the ~|nation x priority| aggregate instead, and
-    # the unit sums re-aggregate exactly (long adds) under the name join, so a
-    # duplicate n_name would merge exactly as the oracle's GROUP BY n_name does.
-    cust = customer.select("c_custkey", "c_nationkey")
     r0 = (
-        orders
-        # merge hint per invariant 17: a column-pruned size estimate would otherwise
-        # flip the co-located join to a broadcast and silently disable the bucketing
-        .join(cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_nationkey", "o_orderpriority")
+        orders.select("o_cust_natkey", "o_orderpriority", "o_totalprice")
+        .groupBy("o_cust_natkey", "o_orderpriority")
         .agg(F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")).alias("s"))
     )
+    # the unit sums re-aggregate exactly (long adds) under the name join, so a
+    # duplicate n_name would merge exactly as the oracle's GROUP BY n_name does
     r = (
-        r0.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        r0.join(F.broadcast(nation), F.col("o_cust_natkey") == F.col("n_nationkey"))
         .groupBy("n_name", "o_orderpriority")
         .agg(money_from_units(F.sum("s"), "t"))
     )

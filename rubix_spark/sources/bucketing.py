@@ -94,6 +94,8 @@ def persisted_bucketed(
     bucket_col: str,
     n_buckets: int = 32,
     sort_col: str | None = None,
+    extra_sources: tuple[str, ...] = (),
+    layout_version: int = 1,
 ) -> DataFrame:
     """Materialize ``build() -> DataFrame`` ONCE as a persistent bucketed catalog table.
 
@@ -106,8 +108,16 @@ def persisted_bucketed(
     ``source_path``: the upstream parquet whose (name, size, mtime) fingerprint decides
     staleness — the driver regenerates /root/testdata between rounds, and a stale
     layout must rebuild, not serve. ``build`` is only invoked on a rebuild.
+
+    ``extra_sources`` (round-10): further parquet paths the build DERIVES columns
+    from (the denormalized layouts join dimension tables at ingest) — their
+    fingerprints join the staleness decision, so a regenerated dimension rebuilds
+    the fact layout even when the fact parquet itself is unchanged.
+    ``layout_version``: bump when the build's SHAPE changes (new columns), so
+    artifacts written by an older build rebuild once instead of serving.
     """
     sort_col = sort_col or bucket_col
+    sort_cols = list(sort_col) if isinstance(sort_col, (tuple, list)) else [sort_col]
     # off by default since 3.0 because multi-file buckets must merge-read to honor the
     # sort metadata; our layout writes exactly ONE file per bucket (repartition below),
     # so sorted scans are pure win: SMJ on the bucket key plans with zero Sort nodes.
@@ -136,6 +146,12 @@ def persisted_bucketed(
     tbl = f"rxb_{label}_{bucket_col}_{digest}"
     marker = os.path.join(data_dir, "_rubix_layout.json")
     fp = _source_fingerprint(src_key)
+    for extra in extra_sources:
+        e = extra.rstrip("/")
+        fp.append(["__extra__", os.path.basename(e)])
+        fp.extend(_source_fingerprint(e))
+    if layout_version != 1:
+        fp.append(["__layout_version__", layout_version])
 
     meta = None
     if os.path.exists(marker):
@@ -144,7 +160,10 @@ def persisted_bucketed(
                 meta = json.load(fh)
         except (OSError, ValueError):
             meta = None
-    sorted_by = f"SORTED BY (`{sort_col}` ASC)" if sort_col else ""
+    sorted_by = (
+        "SORTED BY (" + ", ".join(f"`{c}` ASC" for c in sort_cols) + ")"
+        if sort_cols else ""
+    )
     if meta is not None and meta.get("fingerprint") == fp:
         # layout current: register the existing files (cheap, per-session DDL only)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files untouched
@@ -169,16 +188,104 @@ def persisted_bucketed(
             .bucketBy(n_buckets, bucket_col)
             .option("path", data_dir)
         )
-        if sort_col:
-            writer = writer.sortBy(sort_col)
+        if sort_cols:
+            writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
         writer.format("parquet").saveAsTable(tbl)
         os.makedirs(data_dir, exist_ok=True)
         with open(marker, "w") as fh:
             json.dump({"fingerprint": fp, "schema_ddl": schema_ddl, "n_buckets": n_buckets,
-                       "bucket_col": bucket_col, "sort_col": sort_col}, fh)
+                       "bucket_col": bucket_col, "sort_col": sort_cols}, fh)
     out = spark.table(tbl)
     memo[mkey] = out
     return out
+
+
+# ---------------------------------------------------------------------------
+# Denormalized fact layouts (round-10): materialize the FK -> dimension-key
+# closure INTO the orderkey fact layouts at ingest.
+# ---------------------------------------------------------------------------
+# The probes these columns replace were q4/q29/q30/q32's residual cost (r9
+# verdict): a customer map probed per orders row, a supplier map probed per
+# SMJ-output row, a 2-6M-entry part->brand map probed per lineitem row. A
+# dimension KEY is static per fact row, so the star-schema move is to flatten it
+# at ingest (+4-8 B/row) and turn every probe into a scan filter or a group key:
+#   lineitem += l_supp_natkey (l_suppkey -> s_nationkey),
+#               l_brand_bid   (l_partkey -> dictionaries.brand_dictionary id)
+#   orders   += o_cust_natkey (o_custkey -> c_nationkey)
+# 100 TB story: the replaced customer broadcast GROWS with the fact table (~150M
+# entries at sf1000 — infeasible), while the materialized int stays a local
+# pushed filter forever. Joins at ingest are left joins against unique-key dims,
+# so row counts never change and inner-join semantics are recoverable downstream
+# (natkey IS NOT NULL == the semi-join; bid attach == the part inner join).
+# Extra columns are invisible to existing consumers (parquet column pruning).
+_DENORM_LAYOUT_VERSION = 2
+
+
+def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
+    """Build fn + extra fingerprint sources for the widened fact layouts."""
+    from pyspark.sql import functions as F
+
+    from rubix_spark import catalog
+    from rubix_spark.sources.dictionaries import brand_dictionary, brand_probe
+
+    root = sf_dir.rstrip("/")
+    if name == "lineitem":
+        def build():
+            li = catalog.table(spark, sf_dir, "lineitem")
+            supp = catalog.table(spark, sf_dir, "supplier").select(
+                "s_suppkey", F.col("s_nationkey").alias("l_supp_natkey"))
+            pid = brand_probe(
+                catalog.table(spark, sf_dir, "part"),
+                brand_dictionary(spark, sf_dir),
+            ).select("p_partkey", F.col("bid").alias("l_brand_bid"))
+            # ingest-time joins: broadcast the 100k-row supplier map; the part
+            # map (6M rows at sf10) is left to the planner/AQE — this is the
+            # one-time write path, not a per-query cost
+            return (
+                li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"),
+                        "left").drop("s_suppkey")
+                .join(pid, F.col("l_partkey") == F.col("p_partkey"), "left")
+                .drop("p_partkey")
+            )
+
+        return build, (f"{root}/supplier.parquet", f"{root}/part.parquet")
+    if name == "orders":
+        def build():
+            o = catalog.table(spark, sf_dir, "orders")
+            cust = catalog.table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_nationkey").alias("o_cust_natkey"))
+            return o.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
+                          "left").drop("c_custkey")
+
+        return build, (f"{root}/customer.parquet",)
+    raise KeyError(name)
+
+
+def events_user_layout(spark: SparkSession, sf_dir: str, n_buckets: int = 32) -> DataFrame:
+    """events bucketed by user_id, sorted (user_id, us), with the integer-micros
+    event time MATERIALIZED (the q20 hypertable move, keyed for sessionization
+    instead of time bucketing). Every per-user ordered computation — as-of joins,
+    range-window lookbacks, session windows — consumes the bucket partitioning
+    and the two-level sort directly: zero Exchange, zero Sort, at any scale. The
+    raw window form's per-run user_id shuffle of the whole stream was x7's
+    dominant cost (r9 verdict weak row)."""
+    from pyspark.sql import functions as F
+
+    from rubix_spark import catalog
+
+    def build():
+        ev = catalog.table(spark, sf_dir, "events")
+        return ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+    return persisted_bucketed(
+        spark,
+        label="events_user",
+        source_path=f"{sf_dir.rstrip('/')}/events.parquet",
+        build=build,
+        bucket_col="user_id",
+        n_buckets=n_buckets,
+        sort_col=("user_id", "us"),
+    )
 
 
 def bucketed_table(
@@ -189,9 +296,25 @@ def bucketed_table(
     n_buckets: int = 32,
     sort_col: str | None = None,
 ) -> DataFrame:
-    """Fixture table ``name`` as a persistent bucketed layout (see persisted_bucketed)."""
+    """Fixture table ``name`` as a persistent bucketed layout (see persisted_bucketed).
+
+    The orderkey FACT layouts are denormalized (see _denorm_build): they carry the
+    materialized dimension keys in addition to the fixture columns."""
     from rubix_spark import catalog
 
+    if (name, bucket_col) in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        build, extras = _denorm_build(spark, sf_dir, name)
+        return persisted_bucketed(
+            spark,
+            label=name,
+            source_path=f"{sf_dir.rstrip('/')}/{name}.parquet",
+            build=build,
+            bucket_col=bucket_col,
+            n_buckets=n_buckets,
+            sort_col=sort_col,
+            extra_sources=extras,
+            layout_version=_DENORM_LAYOUT_VERSION,
+        )
     return persisted_bucketed(
         spark,
         label=name,

@@ -142,7 +142,12 @@ def test_deep_cte_computed_once_with_broadcast_dims(spark):
     cte_plan = (
         _q29_cust_sales(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     )
-    assert cte_plan.count("BroadcastHashJoin") >= 3
+    # round-10: the customer and supplier probes are GONE (denormalized layout
+    # keys: pushed In()/IsNotNull filters instead) — the only broadcasts left are
+    # the nation/region name attach on the AGGREGATE output
+    assert cte_plan.count("BroadcastHashJoin") == 2, cte_plan
+    assert "In(o_cust_natkey" in cte_plan, cte_plan
+    assert "IsNotNull(l_supp_natkey" in cte_plan, cte_plan
     assert "BroadcastNestedLoopJoin" not in cte_plan and "CartesianProduct" not in cte_plan
     # round-6: the fact join reads the orderkey-bucketed layout — the CTE's one wide
     # shuffle is gone; the only exchange left is the much smaller partial-aggregate

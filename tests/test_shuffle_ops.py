@@ -76,14 +76,16 @@ def test_q13_graded_distinct_is_exchange_free(spark):
     assert "Exchange hashpartitioning(o_custkey" not in plan, plan
 
 
-def test_q19_graded_customer_join_is_exchange_free(spark):
-    """orders⋈customer on custkey must be a co-located SMJ over the two bucketed
-    layouts: no exchange on either custkey side (replaces the r5 broadcast map that
-    grew with the fact table); the only exchange left is the small aggregate."""
+def test_q19_graded_customer_join_is_gone(spark):
+    """Round-10: the customer join no longer EXISTS — the denormalized orders
+    layout carries o_cust_natkey, so the pre-aggregate phase is scan + groupBy.
+    No SMJ, no custkey exchange of any kind; the only join is the ~125-row
+    nation-name broadcast attach on the aggregate."""
     plan = _pinned_smj_plan(spark, "q19_composed")
-    assert "SortMergeJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     assert "Exchange hashpartitioning(o_custkey" not in plan, plan
     assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+    assert "o_cust_natkey" in plan, plan
 
 
 def test_custkey_family_is_exchange_free(spark):
@@ -122,7 +124,8 @@ def test_q32_query78_shape_has_one_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) == 1, plan
-    assert "item" in exchanges[0] and "cust" in exchanges[0], plan
+    # round-10: the re-aggregate keys on the materialized brand id, not the string
+    assert "l_brand_bid" in exchanges[0] and "cust" in exchanges[0], plan
 
 
 def test_incremental_neardup_corpus_side_has_no_exchange(spark):

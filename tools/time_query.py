@@ -32,8 +32,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # STATIC conf (ADVICE r9) — must ride the launch SparkConf here exactly as
+        # in session.py, or A/Bs run under the 100-entry cache while bench runs
+        # under 5000 and the two protocols diverge
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
     )
     catalog.ensure_session_confs(spark)
