@@ -167,9 +167,7 @@ _WINDOW_US = 10 * 60 * 1_000_000  # 10-minute lookback
 _BUCKET_US = _WINDOW_US  # bucket width == window span ⇒ candidates live in 2 buckets
 
 
-@register(
-    "x7_range_join",
-    f"""
+_RANGE_ORACLE = f"""
     SELECT p.event_id, COUNT(*) AS n_clicks,
            {duck_sum_fast("c.value", "click_v")}
     FROM events p
@@ -180,37 +178,13 @@ _BUCKET_US = _WINDOW_US  # bucket width == window span ⇒ candidates live in 2 
      AND c.ts < p.ts
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id
-    """,
-    doc=(
-        "Range (interval) join: each purchase gathers the same user's clicks from the "
-        "preceding 10 minutes. The oracle states it as the theta join; the engine runs "
-        "it as ONE RANGE-frame window over the unioned event stream (round-7, the "
-        "q9/q18 lesson applied to interval joins): both event classes shuffle ONCE on "
-        "user_id, each purchase row reads SUM(click value)/COUNT(clicks) from the "
-        "frame [ts-10min, ts), no self-join, no row fan-out (sf10 1.18 -> 0.88 s; "
-        "results row-identical to the bucketized join, which stays registered as "
-        "x7_range_join_bucketed for the hot-user story). Click values sum as long "
-        "ten-thousandths (exact, the dec() contract)."
-    ),
-)
-def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = catalog.table(spark, sf_dir, "events")
-    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast is lossless.
-    # ts.isNotNull: Spark puts all NULL order values in ONE shared window frame, so a
-    # NULL-ts purchase would count NULL-ts clicks — the oracle's theta join and the
-    # bucketized form both drop them (ADVICE r7)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    base = ev.where(
-        F.col("event_type").isin("click", "purchase") & F.col("ts").isNotNull()
-    ).select(
-        "event_id", "user_id", us.alias("us"), "event_type",
-        F.when(
-            F.col("event_type") == "click",
-            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"),
-        ).otherwise(0).alias("cv"),
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("cf"),
-    )
-    # [p_us - WINDOW, p_us) on integer micros == rangeBetween(-WINDOW, -1)
+    """
+
+
+def _range_join_body(base: DataFrame) -> DataFrame:
+    """The RANGE-frame window over a (event_id, user_id, us, event_type, cv, cf)
+    stream — shared by the shuffle and layout forms; [p_us - WINDOW, p_us) on
+    integer micros == rangeBetween(-WINDOW, -1)."""
     w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-_WINDOW_US, -1)
     return (
         base.select(
@@ -224,6 +198,78 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_from_units(F.col("sv"), "click_v"),
         )
     )
+
+
+def _range_cols(us_col):
+    return [
+        "event_id", "user_id", us_col.alias("us"), "event_type",
+        F.when(
+            F.col("event_type") == "click",
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"),
+        ).otherwise(0).alias("cv"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("cf"),
+    ]
+
+
+@register(
+    "x7_range_join",
+    _RANGE_ORACLE,
+    doc=(
+        "Range (interval) join: each purchase gathers the same user's clicks from the "
+        "preceding 10 minutes. The oracle states it as the theta join; the engine runs "
+        "it as ONE RANGE-frame window over the unioned event stream (round-7, the "
+        "q9/q18 lesson applied to interval joins) — and since round-11 the stream is "
+        "the WRITTEN user-bucketed (user_id, us)-sorted events layout "
+        "(sources/bucketing.events_user_layout), so the window consumes the bucket "
+        "partitioning and two-level sort directly: ZERO Exchange, ZERO Sort at any "
+        "scale (the per-run user_id shuffle of the whole stream was this row's "
+        "dominant cost — r9/r10 verdict weak row). Measured (tools/proto_x7_layout): "
+        "sf0.1 0.250 vs 0.354 shuffle, sf1 0.303 vs 0.468, sf10 0.426 vs 1.074 — no "
+        "inversion, so the size branch exists only to keep the shuffle body "
+        "driver-oracle-exercised at sf0.01 (RUBIX_X7_LAYOUT_MIN_ROWS=50k; the layout "
+        "branch is oracle-pinned by tests/test_denorm_layout.py). Click values sum "
+        "as long ten-thousandths (exact, the dec() contract)."
+    ),
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from rubix_spark.sources.bucketing import events_user_layout
+    from rubix_spark.sources.stats import parquet_row_count
+
+    min_rows = int(os.environ.get("RUBIX_X7_LAYOUT_MIN_ROWS", 50_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/events.parquet") < min_rows:
+        return REGISTRY["x7_range_join_shuffle"].builder(spark, sf_dir)
+    ev = events_user_layout(spark, sf_dir)
+    # us is materialized at ingest; NULL iff ts is NULL (see the shuffle form's
+    # NULL-frame note — ADVICE r7)
+    base = ev.where(
+        F.col("event_type").isin("click", "purchase") & F.col("us").isNotNull()
+    ).select(*_range_cols(F.col("us")))
+    return _range_join_body(base)
+
+
+@register(
+    "x7_range_join_shuffle",
+    _RANGE_ORACLE,
+    doc=(
+        "Layout-less ablation of x7_range_join (the graded form until round-10): the "
+        "same RANGE-frame window, but over the raw events scan — both event classes "
+        "shuffle ONCE on user_id per run. Holds the sf0.01 driver-correctness slot "
+        "via the graded row's size branch."
+    ),
+)
+def range_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast is lossless.
+    # ts.isNotNull: Spark puts all NULL order values in ONE shared window frame, so a
+    # NULL-ts purchase would count NULL-ts clicks — the oracle's theta join and the
+    # bucketized form both drop them (ADVICE r7)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.where(
+        F.col("event_type").isin("click", "purchase") & F.col("ts").isNotNull()
+    ).select(*_range_cols(us))
+    return _range_join_body(base)
 
 
 @register(

@@ -684,8 +684,11 @@ def _q29_cust_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle's equi-join);
     - the supplier inner join fetched NOTHING (shape parity with query64) — with
       s_suppkey unique it is a semi-join, which the materialized l_supp_natkey
-      expresses as an IS NOT NULL pushed filter (NULL/missing suppkeys drop exactly
-      as the oracle's inner join drops them).
+      expresses as an IS NOT NULL pushed filter. Exact under the denorm NULL
+      contract (round-11, ADVICE r10): natkey is NULL iff NO supplier row matches;
+      a matched supplier whose own s_nationkey is NULL carries the -1 sentinel, so
+      such lineitem rows are KEPT here exactly as the oracle's bare supplier join
+      keeps them.
     The only wide shuffle left below the CTE is the exchange-free orderkey SMJ's
     downstream partial-aggregate. At sf1000 the replaced customer broadcast
     (~90M filtered entries) would be infeasible; the pushed filter never grows."""

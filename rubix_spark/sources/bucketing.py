@@ -137,7 +137,9 @@ def persisted_bucketed(
         memo = {}
         spark._rubix_bucketed_memo = memo
     src_key = source_path.rstrip("/")
-    mkey = (src_key, label, bucket_col, n_buckets)
+    # sort spec is part of the memo key too — same-session callers with a
+    # different sort_col must not be served the first spec's frame (ADVICE r10)
+    mkey = (src_key, label, bucket_col, n_buckets, tuple(sort_cols))
     if mkey in memo:
         return memo[mkey]
 
@@ -148,8 +150,10 @@ def persisted_bucketed(
     fp = _source_fingerprint(src_key)
     for extra in extra_sources:
         e = extra.rstrip("/")
-        fp.append(["__extra__", os.path.basename(e)])
-        fp.extend(_source_fingerprint(e))
+        # full path in the tag + the extra's fingerprint NESTED under it (ADVICE
+        # r10): basename-only tags made two extras with equal basenames and stats
+        # indistinguishable, and the flat extend gave no per-extra delimiting
+        fp.append(["__extra__", e, _source_fingerprint(e)])
     if layout_version != 1:
         fp.append(["__layout_version__", layout_version])
 
@@ -164,7 +168,18 @@ def persisted_bucketed(
         "SORTED BY (" + ", ".join(f"`{c}` ASC" for c in sort_cols) + ")"
         if sort_cols else ""
     )
-    if meta is not None and meta.get("fingerprint") == fp:
+    # the sort spec is part of the layout contract, not just the marker (ADVICE
+    # r10): legacy.bucketedTableScan.outputOrdering makes Spark TRUST the SORTED BY
+    # DDL, so re-registering old files under a new sort spec would hand zero-Sort
+    # SMJs/windows unsorted data — silently wrong results. A spec mismatch with an
+    # unchanged source fingerprint must rebuild, not serve.
+    spec_ok = meta is not None and (
+        meta.get("sort_col") == sort_cols
+        and meta.get("bucket_col") == bucket_col
+        and meta.get("n_buckets") == n_buckets
+        and meta.get("schema_ddl")
+    )
+    if spec_ok and meta.get("fingerprint") == fp:
         # layout current: register the existing files (cheap, per-session DDL only)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files untouched
         spark.sql(
@@ -218,7 +233,17 @@ def persisted_bucketed(
 # so row counts never change and inner-join semantics are recoverable downstream
 # (natkey IS NOT NULL == the semi-join; bid attach == the part inner join).
 # Extra columns are invisible to existing consumers (parquet column pruning).
-_DENORM_LAYOUT_VERSION = 2
+#
+# NULL contract (ADVICE r10, round-11): a materialized natkey is NULL **iff the
+# fact row has NO matching dimension row**; a MATCHED dimension row whose own
+# nationkey is NULL is encoded as the -1 sentinel (nationkeys are 0..24, so -1
+# never collides and never matches a value filter or a nation attach join —
+# exactly how the oracle's inner join to nation treats a NULL key). This makes
+# `natkey IS NOT NULL` an exact existence (semi-join) signal: before the
+# sentinel, a matched-supplier-with-NULL-s_nationkey row was indistinguishable
+# from a missing supplier and q29 would silently drop it where the oracle's bare
+# supplier join keeps it.
+_DENORM_LAYOUT_VERSION = 3
 
 
 def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
@@ -233,7 +258,8 @@ def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
         def build():
             li = catalog.table(spark, sf_dir, "lineitem")
             supp = catalog.table(spark, sf_dir, "supplier").select(
-                "s_suppkey", F.col("s_nationkey").alias("l_supp_natkey"))
+                "s_suppkey",
+                F.coalesce(F.col("s_nationkey"), F.lit(-1)).alias("l_supp_natkey"))
             pid = brand_probe(
                 catalog.table(spark, sf_dir, "part"),
                 brand_dictionary(spark, sf_dir),
@@ -253,7 +279,8 @@ def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
         def build():
             o = catalog.table(spark, sf_dir, "orders")
             cust = catalog.table(spark, sf_dir, "customer").select(
-                "c_custkey", F.col("c_nationkey").alias("o_cust_natkey"))
+                "c_custkey",
+                F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("o_cust_natkey"))
             return o.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
                           "left").drop("c_custkey")
 

@@ -175,14 +175,27 @@ def compare_tolerant(spark_df, oracle: str, sf_dir: str, atol: float = 1e-3) -> 
             bad.extend((i, a, b) for a, b in zip(s_can[i], o_can[i]) if not cell_ok(a, b))
             i += 1
             continue
-        unclaimed = list(range(i, j))
+        # maximum bipartite matching via augmenting paths (ADVICE r10): greedy
+        # first-fit could false-FAIL at atol bucket boundaries — a spark row
+        # claiming the only oracle row compatible with a later spark row — even
+        # when a perfect matching exists. Groups are small (ties on all exact
+        # columns), so the O(V*E) Hopcroft-lite walk is fine.
+        owner: dict[int, int] = {}  # oracle idx -> spark idx
+
+        def _augment(si: int, visited: set) -> bool:
+            for u in range(i, j):
+                if u in visited or not row_ok(s_can[si], o_can[u]):
+                    continue
+                visited.add(u)
+                if u not in owner or _augment(owner[u], visited):
+                    owner[u] = si
+                    return True
+            return False
+
         for si in range(i, j):
-            hit = next((u for u in unclaimed if row_ok(s_can[si], o_can[u])), None)
-            if hit is None:
+            if not _augment(si, set()):
                 bad.extend((si, a, b) for a, b in zip(s_can[si], o_can[si])
                            if not cell_ok(a, b))
-            else:
-                unclaimed.remove(hit)
         i = j
     return [f"values differ beyond atol={atol}: sample={bad[:3]}"] if bad else []
 

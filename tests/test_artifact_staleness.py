@@ -21,7 +21,11 @@ import warnings
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-ARTIFACTS = ("BENCH_SF1.json", "BENCH_SF10.json", "DUCK_SF1.json", "DUCK_SF10.json")
+# docs/PLANS.md is an artifact too (r10 verdict #9): it is the document a reviewer
+# reads first, and it went stale for two rounds while only the bench JSONs were
+# guarded. `python tools/dump_plans.py` alongside every regen.
+ARTIFACTS = ("BENCH_SF1.json", "BENCH_SF10.json", "DUCK_SF1.json", "DUCK_SF10.json",
+             "docs/PLANS.md")
 # the source whose changes invalidate measured numbers: query builders + operators
 MEASURED_DIRS = ("rubix_spark/queries", "rubix_spark/ops", "rubix_spark/streaming")
 MEASURED_FILES = ("rubix_spark/fns.py", "rubix_spark/catalog.py",
@@ -83,7 +87,8 @@ def test_scale_artifacts_not_older_than_measured_source():
     msg = (
         "scale artifacts are OLDER than measured source — regenerate BENCH_SF1/SF10 "
         "+ DUCK_SF1/SF10 (tools/gen_sf.py fixtures, bench.py, tools/duck_bench.py "
-        f"--isolate) in/after the offending commit. Stale: {stale}"
+        f"--isolate) AND docs/PLANS.md (tools/dump_plans.py) in/after the offending "
+        f"commit. Stale: {stale}"
     )
     # invariant 20, hardened (r7 verdict #1): PRIORITY-window source demands artifacts
     assert not window_stale, msg + f" — PRIORITY-window modules among them: {window_stale}"

@@ -27,12 +27,15 @@ def test_lineitem_denorm_columns_match_joins(spark):
     li_dn = bucketed_table(spark, SF_SMOKE, "lineitem", "l_orderkey")
     li = catalog.table(spark, SF_SMOKE, "lineitem")
     supp = catalog.table(spark, SF_SMOKE, "supplier")
-    # l_supp_natkey == the supplier join's s_nationkey, row for row
+    # NULL contract: l_supp_natkey == coalesce(s_nationkey, -1) on a supplier
+    # match, NULL on no match (the `when` without otherwise)
+    expected = F.when(F.col("s_suppkey").isNotNull(),
+                      F.coalesce(F.col("s_nationkey"), F.lit(-1)))
     mismatch = (
         li_dn.select("l_orderkey", "l_linenumber", "l_suppkey", "l_supp_natkey")
         .join(supp.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"), "left")
-        .where(~F.col("l_supp_natkey").eqNullSafe(F.col("s_nationkey")))
+        .where(~F.col("l_supp_natkey").eqNullSafe(expected))
         .count()
     )
     assert mismatch == 0
@@ -42,11 +45,13 @@ def test_lineitem_denorm_columns_match_joins(spark):
 def test_orders_denorm_column_matches_join(spark):
     o_dn = bucketed_table(spark, SF_SMOKE, "orders", "o_orderkey")
     cust = catalog.table(spark, SF_SMOKE, "customer")
+    expected = F.when(F.col("c_custkey").isNotNull(),
+                      F.coalesce(F.col("c_nationkey"), F.lit(-1)))
     mismatch = (
         o_dn.select("o_orderkey", "o_custkey", "o_cust_natkey")
         .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"), "left")
-        .where(~F.col("o_cust_natkey").eqNullSafe(F.col("c_nationkey")))
+        .where(~F.col("o_cust_natkey").eqNullSafe(expected))
         .count()
     )
     assert mismatch == 0
@@ -74,9 +79,64 @@ def test_lineitem_bid_matches_dictionary(spark):
 @pytest.mark.parametrize("name,env", [
     ("q4_star_join", "RUBIX_Q4_LAYOUT_MIN_ROWS"),
     ("q30_yoy_delta", "RUBIX_Q30_LAYOUT_MIN_ROWS"),
+    ("x7_range_join", "RUBIX_X7_LAYOUT_MIN_ROWS"),
 ])
 def test_forced_layout_branch_matches_oracle(spark, monkeypatch, name, env):
     monkeypatch.setenv(env, "0")
     q = REGISTRY[name]
     problems = compare(q.builder(spark, SF_SMOKE), q.oracle, SF_SMOKE)
     assert not problems, f"{name} (layout branch): " + "; ".join(problems)
+
+
+def test_natkey_null_sentinel_contract(spark, tmp_path):
+    """ADVICE r10: a MATCHED supplier whose own s_nationkey is NULL must encode -1
+    (existence), while a MISSING supplier stays NULL — the fixtures carry no NULL
+    nationkeys, so this builds a tiny synthetic generation to pin the contract."""
+    from rubix_spark.sources.bucketing import _denorm_build
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 10), (2, None)], "s_suppkey bigint, s_nationkey bigint"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [(100, "Brand#1")], "p_partkey bigint, p_brand string"
+    ).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(
+        # suppkey 1 -> natkey 10; suppkey 2 -> matched, NULL natkey; 3 -> missing
+        [(1, 1, 1, 100), (1, 2, 2, 100), (1, 3, 3, 100)],
+        "l_orderkey bigint, l_linenumber int, l_suppkey bigint, l_partkey bigint",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    build, _ = _denorm_build(spark, sf, "lineitem")
+    got = {r["l_suppkey"]: r["l_supp_natkey"] for r in build().collect()}
+    assert got == {1: 10, 2: -1, 3: None}
+
+
+def test_sort_spec_change_rebuilds_layout(spark, tmp_path, monkeypatch):
+    """ADVICE r10: changing sort_col for an existing layout (unchanged source, no
+    version bump) must REBUILD — re-registering the old files under the new
+    SORTED BY DDL would hand zero-Sort consumers unsorted data, silently."""
+    import json
+    import os
+
+    from rubix_spark.sources.bucketing import persisted_bucketed, warehouse_root
+
+    monkeypatch.setenv("RUBIX_WAREHOUSE_DIR", str(tmp_path / "wh"))
+    src = str(tmp_path / "src.parquet")
+    df = spark.createDataFrame([(i, 100 - i) for i in range(50)], "k bigint, v bigint")
+    df.write.parquet(src)
+
+    def build():
+        return spark.read.parquet(src)
+
+    persisted_bucketed(spark, "spec_probe", src, build, "k", n_buckets=2, sort_col="k")
+    # fresh memo (a real re-spec happens in a new session; the memo keys lack sort)
+    spark._rubix_bucketed_memo = {}
+    out = persisted_bucketed(
+        spark, "spec_probe", src, build, "k", n_buckets=2, sort_col=("k", "v"))
+    marker = next(
+        os.path.join(r, f) for r, _, fs in os.walk(warehouse_root())
+        for f in fs if f == "_rubix_layout.json")
+    with open(marker) as fh:
+        meta = json.load(fh)
+    assert meta["sort_col"] == ["k", "v"], meta
+    assert out.count() == 50
