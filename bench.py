@@ -104,6 +104,9 @@ def main() -> None:
         bucketed_table(spark, sf_dir, _name, _key)
     registry["q20_time_bucket"].builder(spark, sf_dir)  # events-by-hour layout build
     events_user_layout(spark, sf_dir)  # x7 user-bucketed (user_id, us)-sorted events
+    from rubix_spark.ops.pipeline import docs_ntok_layout
+
+    docs_ntok_layout(spark, sf_dir)  # x9_pack token counts + global cumsum
     # ANN index builds (round 7): the graded x2 rows probe WRITTEN bucketed indexes
     # (sign-LSH buckets / IVF assignment) — ingest-time artifacts like the layouts above
     from rubix_spark.ops.similarity import _ivf_index, _lsh_index

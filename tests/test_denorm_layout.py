@@ -80,6 +80,7 @@ def test_lineitem_bid_matches_dictionary(spark):
     ("q4_star_join", "RUBIX_Q4_LAYOUT_MIN_ROWS"),
     ("q30_yoy_delta", "RUBIX_Q30_LAYOUT_MIN_ROWS"),
     ("x7_range_join", "RUBIX_X7_LAYOUT_MIN_ROWS"),
+    ("x9_pack", "RUBIX_X9PACK_LAYOUT_MIN_ROWS"),
 ])
 def test_forced_layout_branch_matches_oracle(spark, monkeypatch, name, env):
     monkeypatch.setenv(env, "0")

@@ -120,6 +120,21 @@ def test_x7_range_join_layout_is_exchange_and_sort_free(spark, monkeypatch):
                 if l.strip().startswith(("+- Sort ", ":- Sort ", "Sort "))], plan
 
 
+def test_x9_pack_layout_is_one_exchange_no_python(spark, monkeypatch):
+    """Round-11 (r10 verdict #3): the graded x9_pack reads the written docs_ntok
+    layout (token counts + global cumsum materialized at ingest) — the per-query
+    plan is scan -> bin projection -> ONE aggregate exchange: no text column, no
+    Python/Arrow node, no window, no sort."""
+    monkeypatch.setenv("RUBIX_X9PACK_LAYOUT_MIN_ROWS", "0")  # force the big-SF branch
+    plan = _pinned_smj_plan(spark, "x9_pack")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, plan
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan, plan
+    assert "Window" not in plan, plan
+    assert not [l for l in plan.splitlines()
+                if l.strip().startswith(("+- Sort ", ":- Sort ", "Sort "))], plan
+
+
 def test_q30_graded_fact_join_is_exchange_free(spark, monkeypatch):
     monkeypatch.setenv("RUBIX_Q30_LAYOUT_MIN_ROWS", "0")  # force the big-SF layout branch
     plan = _pinned_smj_plan(spark, "q30_yoy_delta")

@@ -58,9 +58,13 @@ def main() -> None:
             Window.partitionBy("blk").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
-        # block totals from the SAME window output: max(lcum) == sum(n_tok) per blk,
-        # and the aggregation consumes the window's hash(blk) partitioning
+        # checkpoint AFTER the window: LogicalRDD preserves the hash(blk)
+        # partitioning + (doc_id) ordering, so the totals aggregate below plans
+        # with NO exchange, and the kernel + the one full shuffle run ONCE
+        local = t.withColumn("lcum", F.sum("n_tok").over(w_in)).localCheckpoint(
+            eager=True
+        )
+        # block totals from the SAME window output: max(lcum) == sum(n_tok) per blk
         totals = local.groupBy("blk").agg(F.max("lcum").alias("btot"))
         w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
         offs = totals.withColumn(
@@ -77,7 +81,63 @@ def main() -> None:
             F.min("doc_id").alias("first_doc"),
         )
 
+    def x9_pack_layout():
+        from rubix_spark.sources.bucketing import persisted_bucketed
+
+        def build():
+            # ingest-time GLOBAL cumsum (budget-independent): the same two-level
+            # prefix sum the query used to run per-invocation, paid once at write
+            t = (
+                _ntok_df(spark, sf)
+                .withColumn("blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint"))
+                .localCheckpoint(eager=True)
+            )
+            w_in = (
+                Window.partitionBy("blk").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
+            totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
+            w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+            offs = totals.withColumn(
+                "boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))
+            ).select("blk", "boff")
+            return (
+                local.join(F.broadcast(offs), "blk")
+                .select("doc_id", "blk", "n_tok",
+                        (F.col("lcum") + F.col("boff")).alias("cum"))
+            )
+
+        lay = persisted_bucketed(
+            spark, "docs_ntok", f"{sf.rstrip('/')}/documents.parquet", build,
+            bucket_col="blk", n_buckets=32, sort_col=("blk", "doc_id"),
+        )
+        start = F.col("cum") - F.col("n_tok")
+        binned = lay.withColumn("bin_id", F.floor(start / F.lit(float(PACK_BUDGET))))
+        return binned.groupBy("bin_id").agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+
     current = load_all()["x9_pack"].builder
+
+    t0 = time.time()
+    x9_pack_layout().count()
+    print(f"layout ready in {time.time()-t0:.1f}s")
+    la = sorted(map(tuple, x9_pack_layout().collect()))
+    lb = sorted(map(tuple, current(spark, sf).collect()))
+    print("layout rows match:", la == lb, f"({len(la)} rows)")
+    lplan = x9_pack_layout()._jdf.queryExecution().executedPlan().toString()
+    print("layout: exchanges:",
+          sum(1 for l in lplan.splitlines() if "Exchange hashpartitioning" in l),
+          "| Sort nodes:",
+          sum(1 for l in lplan.splitlines()
+              if l.strip().startswith(("+- Sort", ":- Sort", "Sort "))))
+    lay_t = []
+    for _ in range(args.n):
+        t0 = time.time(); x9_pack_layout().collect(); lay_t.append(time.time() - t0)
+    print(f"layout : min={min(lay_t):.3f}  samples={[round(t,3) for t in lay_t]}")
 
     a = sorted(map(tuple, x9_pack_new().collect()))
     b = sorted(map(tuple, current(spark, sf).collect()))
