@@ -766,8 +766,12 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group past the bound (the same footer trick DuckDB's top-k gets from zone "
         "maps; the TakeOrdered heap previously consumed the full 15M-row scan — "
         "3.78x DuckDB at sf10 was almost entirely that scan). NULL keys stay "
-        "included to preserve Spark's ASC-nulls-first semantics; cutoff=None "
-        "(missing stats) falls back to the unpruned scan."
+        "included to preserve Spark's ASC-nulls-first semantics. Round-11: "
+        "footer_topk_cutoff now returns None when the zone maps cannot PRUNE "
+        "(every amplified part file spans the whole key range, so the 'bound' was "
+        "the global max and kept all 15M rows while blocking the fallback); "
+        "cutoff=None falls to the exact 1000th-smallest key from ONE memoized "
+        "single-column TakeOrdered scan, and the main scan reads ~1k rows."
     ),
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:

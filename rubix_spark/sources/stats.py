@@ -133,11 +133,19 @@ def footer_topk_cutoff(path: str, col: str, k: int) -> int | None:
     bounds. Returns None (caller scans unpruned) when the column isn't integral,
     any group lacks stats, or the table holds fewer than k non-NULL values.
     NULL ordering is the caller's problem: the filter must OR ``col IS NULL`` if
-    its sort puts NULLs first (Spark ASC default)."""
+    its sort puts NULLs first (Spark ASC default).
+
+    SELECTIVITY rule (round-11): a bound is returned only if it PRUNES — when the
+    row groups whose min <= M could together hold more than ``32 * k`` rows, the
+    zone maps are useless for this key layout (observed: every amplified part
+    file spans the whole key range, so M == the global max and ``col <= M`` kept
+    all 15M rows while its non-None return blocked q17's exact fallback bound —
+    the row sat at 3.19x DuckDB with the pruning 'shipped'). None here means the
+    caller computes the exact k-th-smallest bound from one scan instead."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    groups: list[tuple[int, int]] = []  # (chunk max, non-null rows)
+    groups: list[tuple[int, int, int]] = []  # (chunk max, chunk min, non-null rows)
     for f in _parquet_files(path):
         pf = pq.ParquetFile(f)
         field = next((fl for fl in pf.schema_arrow if fl.name == col), None)
@@ -162,12 +170,13 @@ def footer_topk_cutoff(path: str, col: str, k: int) -> int | None:
             if s is None or not s.has_min_max:
                 return None
             nulls = s.null_count if s.has_null_count else 0
-            groups.append((s.max, g.num_rows - (nulls or 0)))
+            groups.append((s.max, s.min, g.num_rows - (nulls or 0)))
     total = 0
-    for mx, n in sorted(groups):
+    for mx, _, n in sorted(groups, key=lambda t: t[0]):
         total += n
         if total >= k:
-            return mx
+            kept_ub = sum(gn for _, mn, gn in groups if mn <= mx)
+            return mx if kept_ub <= 32 * k else None
     return None  # fewer than k non-null rows: no pruning possible
 
 

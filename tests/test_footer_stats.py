@@ -154,6 +154,26 @@ def test_footer_topk_cutoff_sorted_and_unsorted(tmp_path):
     assert footer_topk_cutoff(sorted_path, "k", n + 1) is None    # not enough rows
 
 
+def test_footer_topk_cutoff_unselective_returns_none(tmp_path):
+    """Round-11 (q17 at sf10): when every row group spans ~the whole key range the
+    smallest covering max is ~the global max — a VALID bound that prunes nothing.
+    Its non-None return used to block the exact data-derived fallback; now a bound
+    that could keep more than 32k rows returns None instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rubix_spark.sources.stats import footer_topk_cutoff
+
+    n = 10_000
+    shuffled = [((i * 7919) % n) for i in range(n)]
+    path = str(tmp_path / "fullspan.parquet")
+    pq.write_table(pa.table({"k": shuffled}), path, row_group_size=1000)
+    # k=10: every group's min is ~0, so kept_ub == n == 10_000 > 32*10 -> None
+    assert footer_topk_cutoff(path, "k", 10) is None
+    # k=1000: kept_ub == 10_000 <= 32*1000 -> the wide-but-bounded cutoff survives
+    assert footer_topk_cutoff(path, "k", 1000) is not None
+
+
 def test_footer_topk_cutoff_zero_row_group_part(tmp_path):
     """ADVICE r9: a zero-row-group part file in a directory fixture must be skipped
     (the old eager md.row_group(0) genexp raised), and the bound must still come
