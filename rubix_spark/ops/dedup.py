@@ -976,9 +976,10 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three stages, all narrow rows after the kernel (raw text never shuffles):
     1. Arrow kernel (x3_fingerprint's shingle kernel + positions): tokenize, build
        stride-1 K-token windows over the flat token buffer, emit (doc_id, pos, sh).
-    2. Mark duplicated windows: md5 (JVM codegen, 128-bit — 32-bit hash32 would
-       birthday-collide at corpus scale) and a count window over the hash; rows with
-       count >= 2 survive. One shuffle keyed on the hash.
+    2. Mark duplicated windows: a pair of independently-seeded xxhash64 longs (an
+       effective 128-bit key — a single 64-bit key would birthday-collide at corpus
+       scale) and a count window over the pair; rows with count >= 2 survive. One
+       shuffle keyed on the two longs.
     3. Merge overlapping/adjacent [pos, pos+K) intervals per doc (gaps-and-islands:
        lag -> break flag -> running island id -> min/max per island). One shuffle
        keyed on doc_id. At 100 TB both shuffles move ~(8+4+16)-byte rows, ~token
@@ -1022,11 +1023,21 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Round-11: the duplicate key is a PAIR of independently-seeded xxhash64 longs
+    # instead of the 32-char md5 hex string — h2 salts FIRST (Spark chains column
+    # hashes, so xxhash64(lit(1), sh) == xxhash64 of sh under a different seed),
+    # making (h1, h2) an effective 128-bit key with md5's birthday bound at corpus
+    # scale, while the count-window shuffle moves 16 bytes of key instead of ~40
+    # and compares longs instead of strings (sf10 11.2 -> 9.5 s, sf0.1 1.02 ->
+    # 0.83 — tools/proto_substring.py). The hash is internal to the engine: both
+    # engines only ever compare duplicate POSITION sets, so the oracle keeps md5.
     wins = docs.mapInPandas(win_kernel, "doc_id bigint, pos long, sh string").select(
-        "doc_id", "pos", F.md5(F.encode(F.col("sh"), "utf-8")).alias("h")
+        "doc_id", "pos",
+        F.xxhash64(F.col("sh")).alias("h1"),
+        F.xxhash64(F.lit(1), F.col("sh")).alias("h2"),
     )
     hits = (
-        wins.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        wins.withColumn("c", F.count("*").over(Window.partitionBy("h1", "h2")))
         .where(F.col("c") >= 2)
         .select("doc_id", "pos")
     )

@@ -213,14 +213,16 @@ def test_correlated_subquery_runs_as_window(spark):
 
 
 def test_substring_dedup_shuffles_hash_not_text(spark):
-    """x1_substring_dedup: after the Arrow window kernel, only (doc_id, pos, h) rows
-    may shuffle — the raw text column and the K-token window strings ('sh') must be
-    projected away before any exchange (at 100 TB the window strings are ~8x the
-    corpus; the md5 rows are ~28 bytes). Exactly two hash exchanges: the duplicate
-    count keyed on the window hash, the interval merge keyed on doc_id."""
+    """x1_substring_dedup: after the Arrow window kernel, only (doc_id, pos, h1, h2)
+    rows may shuffle — the raw text column and the K-token window strings ('sh')
+    must be projected away before any exchange (at 100 TB the window strings are
+    ~8x the corpus; the hash rows are 32 bytes, two longs of key). Exactly two hash
+    exchanges: the duplicate count keyed on the xxhash64 pair, the interval merge
+    keyed on doc_id."""
     plan = _plan(spark, "x1_substring_dedup")
     assert "MapInPandas" in plan, plan
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) == 2, exchanges
     assert not any(("text" in l) or ("sh#" in l) for l in exchanges), exchanges
+    assert any("h1#" in l and "h2#" in l for l in exchanges), exchanges
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
