@@ -528,6 +528,28 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
+def _star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(band, band_key) STAR edges — (bucket min doc_id) -> member — instead of
+    the bucket's all-pairs clique (round-11, r10 verdict #6). Connectivity is
+    IDENTICAL (a star spans exactly what the clique spans, and candidacy is pure
+    band-key collision — no similarity residual), but edge count is O(bucket size),
+    not O(size^2): the amplified sf30 fixture's rotation cliques made the pair list
+    185.8M rows for 1.5M nodes (~9x sf10's for 3x the data — THE super-linear term
+    in the r8 probe), while star edges stay bounded by the band-table row count
+    (~n_docs x n_bands) at every scale. x1_minhash_lsh keeps the all-pairs join:
+    its CONTRACT is the candidate-pair report; this one's is connectivity."""
+    from pyspark.sql.window import Window
+
+    bands = _band_table(spark, sf_dir)
+    hub = F.min("doc_id").over(Window.partitionBy("band", "band_key"))
+    return (
+        bands.withColumn("hub", hub)
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "x1_dedup_components",
     f"""
@@ -559,13 +581,34 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
     doc=(
         "Near-dup clustering: connected components over the MinHash-LSH candidate graph "
         "(min-label propagation, iterative joins — the step that turns pairwise matches "
-        "into dedup groups with one survivor each). Oracle restates it as a recursive-CTE "
-        "transitive closure."
+        "into dedup groups with one survivor each). Round-11: past 100k docs the "
+        "edge list is the per-bucket STAR (bucket-min -> member, see _star_edges), "
+        "not the bucket clique — identical connectivity, O(bucket) edges instead "
+        "of O(bucket^2); the sf30 rotation cliques had made the pair list 185.8M "
+        "rows and the pair join + every propagation round super-linear (484 -> "
+        "49 s). Below the RUBIX_CC_STAR_MIN_ROWS branch the all-pairs list stays "
+        "(stars walk ~2 extra hub-chain rounds, which costs more at toy scale); "
+        "star-vs-clique label equivalence is pinned in tests/test_denorm_layout. "
+        "Oracle restates it as a recursive-CTE transitive closure over the clique "
+        "pairs (equivalent closure)."
     ),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = minhash_lsh(spark, sf_dir)
-    return connected_components(pairs, "doc_a", "doc_b")
+    # Size-adaptive (invariant 16, measured at all four SFs): star edges walk ~2
+    # extra propagation rounds (hub chains), which costs more than the all-pairs
+    # join SAVES while the pair list is small (sf1: pairs 2.37 s vs stars 4.48 —
+    # 229k pairs are cheap); past ~100k docs the clique blowup dominates
+    # completely (sf10: 32.8 -> 9.5 s; sf30: pairs 185.8M rows, 484 s -> 49 s).
+    import os
+
+    from rubix_spark.sources.stats import parquet_row_count
+
+    min_rows = int(os.environ.get("RUBIX_CC_STAR_MIN_ROWS", 100_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/documents.parquet") < min_rows:
+        edges = minhash_lsh(spark, sf_dir)
+    else:
+        edges = _star_edges(spark, sf_dir)
+    return connected_components(edges, "doc_a", "doc_b")
 
 
 @register(

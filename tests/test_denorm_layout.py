@@ -81,6 +81,7 @@ def test_lineitem_bid_matches_dictionary(spark):
     ("q30_yoy_delta", "RUBIX_Q30_LAYOUT_MIN_ROWS"),
     ("x7_range_join", "RUBIX_X7_LAYOUT_MIN_ROWS"),
     ("x9_pack", "RUBIX_X9PACK_LAYOUT_MIN_ROWS"),
+    ("x1_dedup_components", "RUBIX_CC_STAR_MIN_ROWS"),
 ])
 def test_forced_layout_branch_matches_oracle(spark, monkeypatch, name, env):
     monkeypatch.setenv(env, "0")
@@ -141,3 +142,20 @@ def test_sort_spec_change_rebuilds_layout(spark, tmp_path, monkeypatch):
         meta = json.load(fh)
     assert meta["sort_col"] == ["k", "v"], meta
     assert out.count() == 50
+
+
+def test_star_edges_give_identical_components(spark):
+    """Round-11 (r10 verdict #6): per-bucket star edges span exactly what the
+    bucket clique spans — the component labels (min doc_id per component) must be
+    IDENTICAL to running the propagation over the all-pairs candidate list."""
+    from rubix_spark.ops import dedup
+
+    pairs = dedup.minhash_lsh(spark, SF_SMOKE)
+    stars = dedup._star_edges(spark, SF_SMOKE)
+    via_pairs = sorted(
+        map(tuple, dedup.connected_components(pairs, "doc_a", "doc_b").collect()))
+    via_stars = sorted(
+        map(tuple, dedup.connected_components(stars, "doc_a", "doc_b").collect()))
+    assert via_pairs == via_stars
+    # and the star list is never LARGER than the clique list
+    assert stars.count() <= pairs.count()

@@ -86,9 +86,12 @@ def main() -> None:
     from rubix_spark.queries import load_all
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # bench.py sizes shuffle partitions by input bytes; a fixed 32 OOM'd the sf30
+    # probe (per-task shuffle state x 32 threads in one heap) — allow an override
+    parts = os.environ.get("RUBIX_PROTO_SHUFFLE_PARTS", cpus)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
