@@ -81,11 +81,22 @@ _DUCK_DOC_SHINGLES = f"""
     SELECT COUNT(*) AS dup_groups, COALESCE(CAST(SUM(c - 1) AS BIGINT), 0) AS extra_copies
     FROM (SELECT text, COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1)
     """,
-    doc="Exact dedup census: hash-groupBy on full text. At 100 TB, group on md5(text) instead to keep shuffle rows narrow.",
+    doc="Exact dedup census: hash-groupBy on an xxhash64 pair of the text — 16-byte group keys shuffle, never the documents.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group key = (xxhash64(text), xxhash64(1, text)) — the substring-dedup pair
+    trick (r12): partial aggregation already collapses to one row per distinct text
+    per partition, but with ``groupBy(text)`` each distinct DOCUMENT still crosses
+    the exchange as its own group key (~KBs/row). The salted pair is an effective
+    128-bit key (birthday-safe at corpus scale), 16 bytes through the shuffle, long
+    comparisons in the hash map. The hash is engine-internal: both engines only
+    compare group COUNTS, so the oracle keeps GROUP BY text."""
     docs = catalog.table(spark, sf_dir, "documents")
-    groups = docs.groupBy("text").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    keyed = docs.select(
+        F.xxhash64(F.col("text")).alias("h1"),
+        F.xxhash64(F.lit(1), F.col("text")).alias("h2"),
+    )
+    groups = keyed.groupBy("h1", "h2").agg(F.count("*").alias("c")).where(F.col("c") > 1)
     # COALESCE on both sides: a NULL BIGINT materializes as float NaN via pandas on the
     # DuckDB side but None on the Spark side — the driver's value hash would diverge
     return groups.agg(
@@ -103,11 +114,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY text
     )
     """,
-    doc="Keep-first dedup: one survivor (min doc_id) per identical text; n_chars constant within a text group.",
+    doc="Keep-first dedup: one survivor (min doc_id) per identical text; groups on the xxhash64 pair so texts never shuffle.",
 )
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same salted xxhash64-pair group key as x1_dedup_exact (r12) — the survivor
+    set (min doc_id per identical text) is identical under the 128-bit key, and the
+    exchange moves (16-byte key, doc_id, n_chars) instead of whole documents."""
     docs = catalog.table(spark, sf_dir, "documents")
-    kept = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars"))
+    keyed = docs.select(
+        F.xxhash64(F.col("text")).alias("h1"),
+        F.xxhash64(F.lit(1), F.col("text")).alias("h2"),
+        "doc_id", "n_chars",
+    )
+    kept = keyed.groupBy("h1", "h2").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars")
+    )
     return kept.agg(F.count("*").alias("n_unique"), F.sum("n_chars").alias("kept_chars"))
 
 
@@ -485,7 +506,7 @@ def embedding_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over the LSH candidate graph
 # ---------------------------------------------------------------------------
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50) -> DataFrame:
     """Min-label-propagation connected components over an undirected edge list.
 
     Returns (doc_id, component) where component = min node id in the component.
@@ -493,6 +514,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
     never leaves the cluster); each round is one join + aggregate, and the number of
     rounds is bounded by the graph diameter. This is the large-graph-safe pattern —
     hash-min CC is how GraphFrames/GraphX implement it too.
+
+    ``max_iter`` is a runaway bound, not a budget: converged graphs exit early, so
+    the default is sized for the star-edge topology (ADVICE r11 — stars roughly
+    double propagation diameter vs cliques on long bucket-overlap chains). Exiting
+    with labels still moving WARNS instead of silently returning unconverged
+    components (no oracle runs at the scales where this could trigger).
     """
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
@@ -501,6 +528,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["doc_id"])
@@ -525,6 +553,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         labels = updated.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        import warnings
+
+        if changed:
+            warnings.warn(
+                f"connected_components: max_iter={max_iter} exhausted with {changed} "
+                "labels still moving — returned components may be unconverged "
+                "(diameter exceeds the bound; raise max_iter)",
+                RuntimeWarning,
+            )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

@@ -193,3 +193,28 @@ def q30_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = s.join(t["orders"].select("o_orderkey", "o_orderdate"),
                     F.col("l_orderkey") == F.col("o_orderkey"))
     return _q30_brand_rollup(spark, sf_dir, merged, t["part"])
+
+
+@register(
+    "q31_strkey_shuffle",
+    REGISTRY["q31_grouping_sets"].oracle,
+    doc=(
+        "q31 without the dictionary-id layout: the base aggregate hash-keys the raw "
+        "o_orderstatus/o_orderpriority STRINGS straight off the fixture parquet (the "
+        "r4-r11 graded plan). Same one-pass + driver finalize, same oracle — the "
+        "ablation measures what the materialized int keys buy (r11 verdict #1)."
+    ),
+)
+def q31_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.queries.extended import _q31_finalize
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    base = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    return _q31_finalize(spark, [(r.o_orderstatus, r.o_orderpriority, r.c, r.s) for r in base])

@@ -235,13 +235,36 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "collected ~15-row base — exact integer re-aggregation, the combiner-tree "
         "final step over a bounded artifact (kills the checkpoint job + 3 per-level "
         "jobs + union; one scan is the whole query). Bit-identical to the one-pass "
-        "decimal form."
+        "decimal form. Round-12 (r11 verdict #1): the base aggregate rides the "
+        "denormalized orders layout's o_status_sid/o_priority_pid dictionary ids — "
+        "two INTS hash-key the 15M-row pass and the status/priority STRINGS are "
+        "never decoded from parquet (3.7x DuckDB was mostly string scan + string "
+        "group keys); the <=25-row memoized dictionaries decode ids on the driver "
+        "finalize, the q30 p_brand move applied to a table's own columns. "
+        "q31_strkey_shuffle keeps the string-keyed body as the measured ablation."
     ),
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = catalog.table(spark, sf_dir, "orders")
-    base = (
-        orders.groupBy("o_orderstatus", "o_orderpriority")
+    import os
+
+    from rubix_spark.sources.bucketing import bucketed_table
+    from rubix_spark.sources.dictionaries import column_dictionary
+    from rubix_spark.sources.stats import parquet_row_count
+
+    # size branch (invariant 16, measured r12): below ~2M orders rows the 32
+    # one-task-per-bucket layout scan costs more than the single-file string scan
+    # (sf0.1 0.554 layout vs 0.452 strkey; sf1 0.604 vs 0.496); at sf10 the layout
+    # wins (0.650 vs 0.827 — the string decode + string hash keys are the 15M-row
+    # term). Same row-count key as q4/q30.
+    min_rows = int(os.environ.get("RUBIX_Q31_LAYOUT_MIN_ROWS", 4_000_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/orders.parquet") < min_rows:
+        from rubix_spark.queries import REGISTRY
+
+        return REGISTRY["q31_strkey_shuffle"].builder(spark, sf_dir)
+
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    base_ids = (
+        orders.groupBy("o_status_sid", "o_priority_pid")
         .agg(
             F.count("*").alias("c"),
             # long ten-thousandths (money_sum_fast's row expression): re-aggregation
@@ -250,19 +273,32 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()  # |status| x |priority| rows — bounded driver artifact
     )
+    # decode dictionary ids -> strings on the bounded base (ids are 1-based ranks
+    # in the NULLS-FIRST sorted distinct lists — same rule the layout build used)
+    statuses = column_dictionary(spark, sf_dir, "orders", "o_orderstatus")
+    priorities = column_dictionary(spark, sf_dir, "orders", "o_orderpriority")
+    base = [
+        (statuses[r.o_status_sid - 1], priorities[r.o_priority_pid - 1], r.c, r.s)
+        for r in base_ids
+    ]
+    return _q31_finalize(spark, base)
 
-    import math
+
+def _q31_finalize(spark: SparkSession, base: list) -> DataFrame:
+    """Driver-side grouping-set finalize over the collected (status, priority,
+    count, long-unit sum) base — shared by the graded layout body and the
+    q31_strkey_shuffle ablation."""
     from collections import defaultdict
 
     def roll(key):
         # SQL SUM ignores NULL contributions and is NULL only when ALL are (ADVICE r7:
-        # an all-NULL o_totalprice group collects r.s = None)
+        # an all-NULL o_totalprice group collects s = None)
         acc = defaultdict(lambda: [0, None])
-        for r in base:
-            k = key(r)
-            acc[k][0] += r.c
-            if r.s is not None:
-                acc[k][1] = (acc[k][1] or 0) + r.s
+        for status, priority, c, s in base:
+            k = key(status, priority)
+            acc[k][0] += c
+            if s is not None:
+                acc[k][1] = (acc[k][1] or 0) + s
         return acc
 
     def total(s: int | None) -> float | None:
@@ -274,9 +310,9 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ((s + 50) // 100) / 100.0
 
     rows = (
-        [(k, None, 2, c, total(s)) for k, (c, s) in roll(lambda r: r.o_orderstatus).items()]
-        + [(None, k, 1, c, total(s)) for k, (c, s) in roll(lambda r: r.o_orderpriority).items()]
-        + [(None, None, 3, c, total(s)) for _, (c, s) in roll(lambda r: None).items()]
+        [(k, None, 2, c, total(s)) for k, (c, s) in roll(lambda st, pr: st).items()]
+        + [(None, k, 1, c, total(s)) for k, (c, s) in roll(lambda st, pr: pr).items()]
+        + [(None, None, 3, c, total(s)) for _, (c, s) in roll(lambda st, pr: None).items()]
     )
     return spark.createDataFrame(
         rows, "o_orderstatus string, o_orderpriority string, gid int, cnt bigint, total double"

@@ -144,8 +144,21 @@ def persisted_bucketed(
         return memo[mkey]
 
     digest = hashlib.md5(src_key.encode()).hexdigest()[:8]
-    data_dir = os.path.join(warehouse_root(), digest, f"{label}__{bucket_col}__{n_buckets}")
-    tbl = f"rxb_{label}_{bucket_col}_{digest}"
+    # the sort spec is part of the artifact IDENTITY, not just the rebuild check
+    # (ADVICE r11): two same-session callers with equal (label, bucket_col,
+    # n_buckets) but different sort specs previously ping-ponged full rebuilds of
+    # ONE directory while the first caller's memoized frame kept pointing at files
+    # rewritten under the other spec — the zero-Sort hazard the spec_ok check was
+    # meant to close. A non-default spec now gets its own directory + table; the
+    # default spec (sort == bucket col) keeps the legacy name so existing
+    # warehouse artifacts stay valid.
+    spec = (
+        ""
+        if sort_cols == [bucket_col]
+        else "_s" + hashlib.md5(",".join(sort_cols).encode()).hexdigest()[:6]
+    )
+    data_dir = os.path.join(warehouse_root(), digest, f"{label}__{bucket_col}__{n_buckets}{spec}")
+    tbl = f"rxb_{label}_{bucket_col}_{digest}{spec}"
     marker = os.path.join(data_dir, "_rubix_layout.json")
     fp = _source_fingerprint(src_key)
     for extra in extra_sources:
@@ -243,7 +256,11 @@ def persisted_bucketed(
 # sentinel, a matched-supplier-with-NULL-s_nationkey row was indistinguishable
 # from a missing supplier and q29 would silently drop it where the oracle's bare
 # supplier join keeps it.
-_DENORM_LAYOUT_VERSION = 3
+# per-table versions (r12): bumping one table's build no longer forces the other
+# fact layout to rebuild at every SF. orders v4 = + o_status_sid/o_priority_pid
+# dictionary ids (q31's grouping keys — the 15M-row base aggregate hash-keys two
+# ints and never decodes the status/priority strings from parquet).
+_DENORM_LAYOUT_VERSIONS = {"lineitem": 3, "orders": 4}
 
 
 def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
@@ -277,12 +294,27 @@ def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
         return build, (f"{root}/supplier.parquet", f"{root}/part.parquet")
     if name == "orders":
         def build():
+            from rubix_spark.sources.dictionaries import column_dictionary, dict_id_expr
+
             o = catalog.table(spark, sf_dir, "orders")
             cust = catalog.table(spark, sf_dir, "customer").select(
                 "c_custkey",
                 F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("o_cust_natkey"))
-            return o.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
-                          "left").drop("c_custkey")
+            # dictionary ids for the two low-cardinality report keys (r12, q31):
+            # ids are 1 + rank in the NULLS-FIRST sorted distinct list, so a
+            # rebuilt layout and a fresh session's finalize always agree
+            sid = dict_id_expr(
+                F.col("o_orderstatus"),
+                column_dictionary(spark, sf_dir, "orders", "o_orderstatus"))
+            pid = dict_id_expr(
+                F.col("o_orderpriority"),
+                column_dictionary(spark, sf_dir, "orders", "o_orderpriority"))
+            return (
+                o.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
+                       "left").drop("c_custkey")
+                .withColumn("o_status_sid", sid)
+                .withColumn("o_priority_pid", pid)
+            )
 
         return build, (f"{root}/customer.parquet",)
     raise KeyError(name)
@@ -340,7 +372,7 @@ def bucketed_table(
             n_buckets=n_buckets,
             sort_col=sort_col,
             extra_sources=extras,
-            layout_version=_DENORM_LAYOUT_VERSION,
+            layout_version=_DENORM_LAYOUT_VERSIONS[name],
         )
     return persisted_bucketed(
         spark,

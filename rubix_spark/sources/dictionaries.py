@@ -75,6 +75,39 @@ def null_brand_bid(spark: SparkSession, sf_dir: str) -> int | None:
     return 1 if brands and brands[0] is None else None
 
 
+def column_dictionary(spark: SparkSession, sf_dir: str, table: str, col: str) -> list:
+    """Sorted NULLS-FIRST distinct values of a low-cardinality string column —
+    the brand_dictionary rule generalized (r11 verdict #1: q31's grouping keys).
+    id = 1 + index in this list, so a layout built in ANY session and a fresh
+    session's attach/finalize always agree (the distinct set is fixture-determined
+    and the sort is total). Collected once per (session, sf_dir, table, col) and
+    memoized; ingest pays it untimed, a query session pays one narrow distinct
+    scan on first use (the session stat-store contract)."""
+    memo = getattr(spark, "_rubix_col_dict_memo", None)
+    if memo is None:
+        memo = {}
+        spark._rubix_col_dict_memo = memo
+    key = (sf_dir.rstrip("/"), table, col)
+    if key not in memo:
+        rows = catalog.table(spark, sf_dir, table).select(col).distinct().collect()
+        memo[key] = sorted((r[0] for r in rows), key=lambda v: (v is not None, v))
+    return memo[key]
+
+
+def dict_id_expr(col, values: list):
+    """CASE chain mapping ``col`` to its 1-based dictionary id (NULL-safe — a NULL
+    value holds slot 1 when present). For the <=25-value dictionaries this lives
+    in whole-stage codegen as a short eqNullSafe ladder: no join, no shuffle,
+    used at layout INGEST so queries only ever see the materialized int."""
+    expr = F.lit(None).cast("int")
+    # built back-to-front so the final expression tests values[0] first; values
+    # are distinct, so precedence only affects readability
+    for i in range(len(values) - 1, -1, -1):
+        cond = col.isNull() if values[i] is None else (col == F.lit(values[i]))
+        expr = F.when(cond, F.lit(i + 1)).otherwise(expr)
+    return expr
+
+
 def region_nationkeys(spark: SparkSession, sf_dir: str, regions: tuple[str, ...]) -> list:
     """The nationkeys whose nation sits in one of ``regions`` — the literal in-set
     that pushes a region predicate INTO a denormalized fact scan (q4/q29 over the

@@ -146,6 +146,7 @@ def footer_topk_cutoff(path: str, col: str, k: int) -> int | None:
     import pyarrow.parquet as pq
 
     groups: list[tuple[int, int, int]] = []  # (chunk max, chunk min, non-null rows)
+    total_nulls = 0  # NULL keys survive the caller's OR-isNull term in EVERY group
     for f in _parquet_files(path):
         pf = pq.ParquetFile(f)
         field = next((fl for fl in pf.schema_arrow if fl.name == col), None)
@@ -170,12 +171,16 @@ def footer_topk_cutoff(path: str, col: str, k: int) -> int | None:
             if s is None or not s.has_min_max:
                 return None
             nulls = s.null_count if s.has_null_count else 0
+            total_nulls += nulls or 0
             groups.append((s.max, s.min, g.num_rows - (nulls or 0)))
     total = 0
     for mx, _, n in sorted(groups, key=lambda t: t[0]):
         total += n
         if total >= k:
-            kept_ub = sum(gn for _, mn, gn in groups if mn <= mx)
+            # kept rows = non-NULL rows in groups the bound can't prune PLUS all
+            # NULL rows (ADVICE r11: callers keep NULLs via OR-isNull, which no
+            # min/max bound excludes — a NULL-heavy column must fail selectivity)
+            kept_ub = sum(gn for _, mn, gn in groups if mn <= mx) + total_nulls
             return mx if kept_ub <= 32 * k else None
     return None  # fewer than k non-null rows: no pruning possible
 

@@ -183,13 +183,32 @@ def compare_tolerant(spark_df, oracle: str, sf_dir: str, atol: float = 1e-3) -> 
         owner: dict[int, int] = {}  # oracle idx -> spark idx
 
         def _augment(si: int, visited: set) -> bool:
-            for u in range(i, j):
-                if u in visited or not row_ok(s_can[si], o_can[u]):
-                    continue
-                visited.add(u)
-                if u not in owner or _augment(owner[u], visited):
-                    owner[u] = si
-                    return True
+            # iterative alternating-path DFS (ADVICE r11): the recursive form's
+            # depth equals the reassignment-chain length, so a tied group past
+            # ~1000 rows could blow Python's recursion limit and crash the
+            # comparator instead of reporting a mismatch. Each frame is
+            # (spark idx, candidate iterator, oracle idx that links it to its
+            # parent); on reaching a free oracle row, ownership shifts one step
+            # toward the root along the recorded chain — exactly the recursive
+            # Kuhn unwind.
+            stack = [(si, iter(range(i, j)), -1)]
+            while stack:
+                v, it, _ = stack[-1]
+                pushed = False
+                for u in it:
+                    if u in visited or not row_ok(s_can[v], o_can[u]):
+                        continue
+                    visited.add(u)
+                    if u not in owner:
+                        owner[u] = v
+                        for k in range(len(stack) - 1, 0, -1):
+                            owner[stack[k][2]] = stack[k - 1][0]
+                        return True
+                    stack.append((owner[u], iter(range(i, j)), u))
+                    pushed = True
+                    break
+                if not pushed:
+                    stack.pop()
             return False
 
         for si in range(i, j):

@@ -24,8 +24,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # docs/PLANS.md is an artifact too (r10 verdict #9): it is the document a reviewer
 # reads first, and it went stale for two rounds while only the bench JSONs were
 # guarded. `python tools/dump_plans.py` alongside every regen.
+# BENCH_SF30/DUCK_SF30 joined in r12 (r11 verdict #7): they went stale unnoticed in
+# r9/r10 while the sf1/sf10 artifacts were guarded — a splice block (re-time of just
+# the touched rows) re-anchors them without a full sf30 regen.
 ARTIFACTS = ("BENCH_SF1.json", "BENCH_SF10.json", "DUCK_SF1.json", "DUCK_SF10.json",
-             "docs/PLANS.md")
+             "BENCH_SF30.json", "DUCK_SF30.json", "docs/PLANS.md")
 # the source whose changes invalidate measured numbers: query builders + operators
 MEASURED_DIRS = ("rubix_spark/queries", "rubix_spark/ops", "rubix_spark/streaming")
 MEASURED_FILES = ("rubix_spark/fns.py", "rubix_spark/catalog.py",

@@ -76,12 +76,31 @@ def test_lineitem_bid_matches_dictionary(spark):
     assert mismatch == 0
 
 
+def test_orders_dictionary_ids_match(spark):
+    """r12: the ingest-time o_status_sid/o_priority_pid equal the session
+    dictionary's mapping for every row — the single assignment rule (1 + rank in
+    the NULLS-FIRST sorted distinct list) both the layout build and q31's driver
+    finalize must share."""
+    from rubix_spark.sources.dictionaries import column_dictionary, dict_id_expr
+
+    o_dn = bucketed_table(spark, SF_SMOKE, "orders", "o_orderkey")
+    sid = dict_id_expr(
+        F.col("o_orderstatus"), column_dictionary(spark, SF_SMOKE, "orders", "o_orderstatus"))
+    pid = dict_id_expr(
+        F.col("o_orderpriority"), column_dictionary(spark, SF_SMOKE, "orders", "o_orderpriority"))
+    mismatch = o_dn.where(
+        ~F.col("o_status_sid").eqNullSafe(sid) | ~F.col("o_priority_pid").eqNullSafe(pid)
+    ).count()
+    assert mismatch == 0
+
+
 @pytest.mark.parametrize("name,env", [
     ("q4_star_join", "RUBIX_Q4_LAYOUT_MIN_ROWS"),
     ("q30_yoy_delta", "RUBIX_Q30_LAYOUT_MIN_ROWS"),
     ("x7_range_join", "RUBIX_X7_LAYOUT_MIN_ROWS"),
     ("x9_pack", "RUBIX_X9PACK_LAYOUT_MIN_ROWS"),
     ("x1_dedup_components", "RUBIX_CC_STAR_MIN_ROWS"),
+    ("q31_grouping_sets", "RUBIX_Q31_LAYOUT_MIN_ROWS"),
 ])
 def test_forced_layout_branch_matches_oracle(spark, monkeypatch, name, env):
     monkeypatch.setenv(env, "0")
@@ -113,10 +132,12 @@ def test_natkey_null_sentinel_contract(spark, tmp_path):
     assert got == {1: 10, 2: -1, 3: None}
 
 
-def test_sort_spec_change_rebuilds_layout(spark, tmp_path, monkeypatch):
-    """ADVICE r10: changing sort_col for an existing layout (unchanged source, no
-    version bump) must REBUILD — re-registering the old files under the new
-    SORTED BY DDL would hand zero-Sort consumers unsorted data, silently."""
+def test_sort_spec_change_gets_own_layout(spark, tmp_path, monkeypatch):
+    """ADVICE r10 + r11: a different sort spec must never serve the old files
+    (zero-Sort consumers would read unsorted data under a trusted SORTED BY DDL).
+    Since r12 the spec is part of the artifact IDENTITY: each spec owns a distinct
+    directory + table, so two same-session callers with different specs coexist
+    instead of ping-ponging rebuilds of one path."""
     import json
     import os
 
@@ -130,18 +151,19 @@ def test_sort_spec_change_rebuilds_layout(spark, tmp_path, monkeypatch):
     def build():
         return spark.read.parquet(src)
 
-    persisted_bucketed(spark, "spec_probe", src, build, "k", n_buckets=2, sort_col="k")
-    # fresh memo (a real re-spec happens in a new session; the memo keys lack sort)
-    spark._rubix_bucketed_memo = {}
+    first = persisted_bucketed(spark, "spec_probe", src, build, "k", n_buckets=2, sort_col="k")
     out = persisted_bucketed(
         spark, "spec_probe", src, build, "k", n_buckets=2, sort_col=("k", "v"))
-    marker = next(
+    markers = sorted(
         os.path.join(r, f) for r, _, fs in os.walk(warehouse_root())
         for f in fs if f == "_rubix_layout.json")
-    with open(marker) as fh:
-        meta = json.load(fh)
-    assert meta["sort_col"] == ["k", "v"], meta
-    assert out.count() == 50
+    specs = []
+    for m in markers:
+        with open(m) as fh:
+            specs.append(json.load(fh)["sort_col"])
+    # two DISTINCT artifacts, one per spec; both frames stay readable
+    assert sorted(map(tuple, specs)) == [("k",), ("k", "v")], specs
+    assert first.count() == 50 and out.count() == 50
 
 
 def test_star_edges_give_identical_components(spark):
