@@ -50,12 +50,55 @@ def median_value(v: pd.Series) -> float:
     return float(v.median())
 
 
+def _median_arrow(tbl):
+    """applyInArrow kernel: one (user_id, raw median) row per group, never touching
+    pandas — the batch stays an Arrow table and numpy reduces its buffer. Mirrors
+    pd.Series.median exactly: NULLs dropped, NaN skipped (skipna), empty -> NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    v = pc.drop_null(tbl.column("value")).to_numpy()
+    v = v[~np.isnan(v)]
+    med = float(np.median(v)) if len(v) else None
+    return pa.table({
+        "user_id": pa.array([tbl.column("user_id")[0].as_py()], pa.int64()),
+        "med_raw": pa.array([med], pa.float64()),
+    })
+
+
 @register(
     "x4_udf_grouped_median",
     "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
-    doc="Grouped-aggregate pandas UDF (per-user median): Arrow batch per group, numpy reduction.",
+    doc=(
+        "Per-user median via applyInArrow (Spark 4 grouped-map over pyarrow tables) "
+        "— the row prices the Python path, so it runs the CURRENT minimum Python "
+        "path (r11 verdict #6): skipping the per-group pandas Series/DataFrame "
+        "construction measured -29%/-51%/-14% at sf0.1/sf1/sf10 vs the grouped-agg "
+        "pandas UDF, identical results. x4_udf_grouped_median_pandas keeps the "
+        "UDAF-shaped pandas form as the documented API twin."
+    ),
 )
 def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(_median_arrow, schema="user_id bigint, med_raw double")
+        .select("user_id", round_det(F.col("med_raw")).alias("med"))
+    )
+
+
+@register(
+    "x4_udf_grouped_median_pandas",
+    "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
+    doc=(
+        "Grouped-AGGREGATE pandas UDF (the UDAF API shape): Arrow batch per group, "
+        "pandas Series reduction. Same oracle as x4_udf_grouped_median — kept as "
+        "the API-surface twin and the measured price of the pandas hop."
+    ),
+)
+def udf_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(round_det(median_value("value")).alias("med"))
 

@@ -181,3 +181,61 @@ def test_star_edges_give_identical_components(spark):
     assert via_pairs == via_stars
     # and the star list is never LARGER than the clique list
     assert stars.count() <= pairs.count()
+
+
+def test_frontier_propagation_matches_union_find(spark):
+    """r12 (r11 verdict #4): connected_components is frontier-driven — only labels
+    that moved last round re-enter the propagation join, with broadcast tails.
+    Pin the fixpoint against a driver-side union-find on a random graph shaped to
+    stress the frontier logic: long chains (diameter >> 1, many tail rounds with
+    a tiny frontier) plus stars plus isolated pairs."""
+    import random
+
+    from rubix_spark.ops.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    # a 31-node chain (diameter 30 < max_iter — hash-min needs one round per hop,
+    # so longer chains legitimately exhaust the bound and warn), three 30-member
+    # stars, random noise
+    edges += [(i, i + 1) for i in range(100, 130)]
+    for hub in (1000, 2000, 3000):
+        edges += [(hub, hub + 1 + k) for k in range(30)]
+    nodes = list(range(5000, 5300))
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min node id, matching connected_components' contract
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    expect = sorted((n, c) for n, c in comp.items())
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = sorted(map(tuple, connected_components(df).collect()))
+    assert got == expect
+
+
+def test_max_iter_exhaustion_warns(spark):
+    """ADVICE r11: exhausting max_iter with labels still moving must WARN instead
+    of silently returning unconverged components. A chain needs one round per
+    hop, so a 10-edge chain under max_iter=3 cannot converge."""
+    import pytest as _pytest
+
+    from rubix_spark.ops.dedup import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)], "src bigint, dst bigint")
+    with _pytest.warns(RuntimeWarning, match="max_iter=3 exhausted"):
+        connected_components(df, max_iter=3).collect()
