@@ -102,18 +102,14 @@ def _duck_cos(a: str, b: str) -> str:
 # ---------------------------------------------------------------------------
 # brute force
 # ---------------------------------------------------------------------------
-@register(
-    "x2_ann_bruteforce",
-    f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-    SELECT v.vec_id, FLOOR(({_duck_cos('v.embedding', 'q.qe')}) * 10000 + 0.5) / 10000.0 AS sim
-    FROM embeddings v, q
-    ORDER BY {_duck_cos('v.embedding', 'q.qe')} DESC, v.vec_id
-    LIMIT {TOP_K}
-    """,
-    doc="Exact cosine top-k: broadcast 1-row query vector, full scan, per-partition heap top-k.",
-)
-def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+# np_exact pays a fixed Python-worker spin-up (~0.2 s) the interpreted fold
+# doesn't; the fold pays ~4.7 µs/row. Crossover ~50k rows; sf1 (20k) keeps the
+# fold, sf10 (200k) rides the kernel. Measured idle min-of-N: sf1 0.411 fold vs
+# 0.475 kernel; sf10 0.921 fold vs 0.550 kernel.
+_BRUTEFORCE_NP_MIN_ROWS = 100_000
+
+
+def _bruteforce_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
     sim = cosine(F.col("embedding"), F.col("qe"))
@@ -124,6 +120,101 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
     )
+
+
+def _bruteforce_np_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-identical vectorized form of the HOF fold (NOT the BLAS twin below).
+
+    ``aggregate(zip_with(v,q,x*y), 0.0, acc+x)`` is a strict left fold in element
+    order; numpy replicates that exact IEEE add sequence vectorized ACROSS rows by
+    accumulating one DIMENSION at a time (``acc += m[:, d] * q[d]``) — each row
+    sees the identical sequence of adds, so every cosine is bit-equal to the
+    interpreted fold (asserted over all rows in tests/test_ann.py) and the DuckDB
+    oracle carries over unchanged. The BLAS matvec (x2_ann_bruteforce_np) is
+    faster still but sums in SIMD order — last-ulp diffs, rows-only gate."""
+    import numpy as np
+
+    emb = catalog.table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    row = emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    if row is None:
+        raise ValueError(f"embeddings fixture is missing query vec_id {QUERY_VEC_ID}")
+    q = np.asarray(row.embedding, dtype=np.float64)
+    q_norm = float(_py_dot(row.embedding, row.embedding)) ** 0.5
+    k = TOP_K
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.empty(0, dtype=np.int64)
+        sims = np.empty(0, dtype=np.float64)
+        for b in batches:
+            col = b.column(1)
+            n = len(col)
+            if n == 0:
+                continue
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            d = int(widths[0])
+            if not (widths == d).all():
+                raise ValueError("ragged embedding column")
+            flat = col.values.to_numpy(zero_copy_only=False)
+            m = flat[offs[0]:offs[-1]].astype(np.float64).reshape(n, d)
+            dq = np.zeros(n)
+            dv = np.zeros(n)
+            for j in range(d):  # fold order: dimension-major == the HOF fold
+                c = m[:, j]
+                dq += c * q[j]
+                dv += c * c
+            s = dq / (np.sqrt(dv) * q_norm)
+            ids = np.concatenate([ids, b.column(0).to_numpy(zero_copy_only=False)])
+            sims = np.concatenate([sims, s])
+            if len(ids) > 8 * k:
+                key = -np.where(np.isnan(sims), np.inf, sims)  # NaN first, like desc
+                sel = np.lexsort((ids, key))[:k]
+                ids, sims = ids[sel], sims[sel]
+        if len(ids):
+            key = -np.where(np.isnan(sims), np.inf, sims)
+            sel = np.lexsort((ids, key))[:k]
+            yield pa.record_batch({"vec_id": pa.array(ids[sel], pa.int64()),
+                                   "_sim": pa.array(sims[sel], pa.float64())})
+
+    part = emb.mapInArrow(score, "vec_id bigint, _sim double")
+    return (
+        part.orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id", round_det(F.col("_sim"), 4).alias("sim"))
+    )
+
+
+@register(
+    "x2_ann_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT v.vec_id, FLOOR(({_duck_cos('v.embedding', 'q.qe')}) * 10000 + 0.5) / 10000.0 AS sim
+    FROM embeddings v, q
+    ORDER BY {_duck_cos('v.embedding', 'q.qe')} DESC, v.vec_id
+    LIMIT {TOP_K}
+    """,
+    doc=(
+        "Exact cosine top-k, size-adaptive (invariant 16): past "
+        f"{_BRUTEFORCE_NP_MIN_ROWS} footer rows the interpreted zip_with/aggregate "
+        "fold (~4.7 µs/row) yields to a mapInArrow numpy kernel whose "
+        "dimension-major accumulation reproduces the fold's IEEE add order "
+        "BIT-IDENTICALLY (same oracle, asserted per-row in tests/test_ann.py); "
+        "below it the fold avoids the Python worker spin-up. sf10 idle: 0.550 "
+        "kernel vs 0.921 fold; sf1: 0.475 vs 0.411."
+    ),
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from rubix_spark.sources.stats import parquet_row_count
+
+    min_rows = int(os.environ.get("RUBIX_X2_NP_MIN_ROWS", _BRUTEFORCE_NP_MIN_ROWS))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/embeddings.parquet") >= min_rows:
+        return _bruteforce_np_exact(spark, sf_dir)
+    return _bruteforce_hof(spark, sf_dir)
 
 
 @register(

@@ -218,3 +218,40 @@ def q31_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     return _q31_finalize(spark, [(r.o_orderstatus, r.o_orderpriority, r.c, r.s) for r in base])
+
+
+@register(
+    "q3_strkey_shuffle",
+    REGISTRY["q3_agg_having"].oracle,
+    doc=(
+        "q3 without the dictionary-id layout: the 6-group aggregate hash-keys the "
+        "raw l_returnflag/l_linestatus STRINGS straight off the fixture parquet "
+        "(the r1-r12 graded plan). Same oracle — the ablation measures what the "
+        "materialized int keys buy (invariant 29)."
+    ),
+)
+def q3_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), money_sum_fast("l_extendedprice", "rev"))
+        .where(F.col("cnt") > 10)
+    )
+
+
+@register(
+    "q28_strkey_shuffle",
+    REGISTRY["q28_tpch_q1"].oracle,
+    doc=(
+        "q28 (TPC-H Q1) without the dictionary-id layout: string group keys off "
+        "the fixture parquet; identical aggregate list (_q28_agg_exprs). Same "
+        "oracle as q28_tpch_q1."
+    ),
+)
+def q28_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rubix_spark.queries.extended import _q28_agg_exprs
+
+    li = catalog.table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(*_q28_agg_exprs())

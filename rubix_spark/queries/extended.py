@@ -548,6 +548,35 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE invariant 24: helpers live ABOVE the decorator, never between it and its def
+def _q28_agg_exprs() -> list:
+    """The TPC-H Q1 aggregate list (long fast-path sums) — shared by the graded
+    dictionary-key body and the q28_strkey_shuffle ablation, which differ only in
+    what keys the groupBy."""
+
+    def units(col: F.Column, m: int) -> F.Column:  # exact integer units of 1/m
+        return F.sum(F.floor(col * m + F.lit(0.5)).cast("long"))
+
+    def dollars(sum_cents: F.Column, alias: str) -> F.Column:
+        # round-8: cent longs emit via ONE int->double conversion (no decimal, no
+        # double ever carries the sum — exact at any magnitude inside int64)
+        return (sum_cents.cast("double") / F.lit(100)).alias(alias)
+
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    qty_s = units(F.col("l_quantity"), 100)
+    disc_s = units(F.col("l_discount"), 10000)
+    return [
+        dollars(qty_s, "sum_qty"),
+        dollars(units(F.col("l_extendedprice"), 100), "sum_base_price"),
+        dollars(units(disc_price, 100), "sum_disc_price"),
+        dollars(units(charge, 100), "sum_charge"),
+        avg_units_det(qty_s, F.count("*"), 2, "avg_qty", 2),
+        avg_units_det(disc_s, F.count("*"), 4, "avg_disc", 4),
+        F.count("*").alias("count_order"),
+    ]
+
+
 @register(
     "q28_tpch_q1",
     f"""
@@ -579,30 +608,34 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = catalog.table(spark, sf_dir, "lineitem").where(
+    import os
+
+    from rubix_spark.sources.bucketing import bucketed_table
+    from rubix_spark.sources.dictionaries import column_dictionary, dict_decode_expr
+    from rubix_spark.sources.stats import parquet_row_count
+
+    # invariant 29 (r12): past the threshold the scan + 6-group aggregate key on
+    # the layout's l_rf_sid/l_ls_sid ints; strings decode on the 6-row result.
+    # Measured idle min-of-5, no inversion: sf0.1 0.332 vs 0.348, sf1 0.351 vs
+    # 0.353 (tie), sf10 0.643 vs 0.818 strkey (0.83x DuckDB, from 1.32x) — the
+    # numeric aggregate list dominates, so the string-decode save is the margin.
+    min_rows = int(os.environ.get("RUBIX_Q3_LAYOUT_MIN_ROWS", 300_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/lineitem.parquet") < min_rows:
+        from rubix_spark.queries import REGISTRY
+
+        return REGISTRY["q28_strkey_shuffle"].builder(spark, sf_dir)
+
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-
-    def units(col: F.Column, m: int) -> F.Column:  # exact integer units of 1/m
-        return F.sum(F.floor(col * m + F.lit(0.5)).cast("long"))
-
-    def dollars(sum_cents: F.Column, alias: str) -> F.Column:
-        # round-8: cent longs emit via ONE int->double conversion (no decimal, no
-        # double ever carries the sum — exact at any magnitude inside int64)
-        return (sum_cents.cast("double") / F.lit(100)).alias(alias)
-
-    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
-    qty_s = units(F.col("l_quantity"), 100)
-    disc_s = units(F.col("l_discount"), 10000)
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dollars(qty_s, "sum_qty"),
-        dollars(units(F.col("l_extendedprice"), 100), "sum_base_price"),
-        dollars(units(disc_price, 100), "sum_disc_price"),
-        dollars(units(charge, 100), "sum_charge"),
-        avg_units_det(qty_s, F.count("*"), 2, "avg_qty", 2),
-        avg_units_det(disc_s, F.count("*"), 4, "avg_disc", 4),
-        F.count("*").alias("count_order"),
+    agg = li.groupBy("l_rf_sid", "l_ls_sid").agg(*_q28_agg_exprs())
+    rf = column_dictionary(spark, sf_dir, "lineitem", "l_returnflag")
+    ls = column_dictionary(spark, sf_dir, "lineitem", "l_linestatus")
+    return agg.select(
+        dict_decode_expr(F.col("l_rf_sid"), rf).alias("l_returnflag"),
+        dict_decode_expr(F.col("l_ls_sid"), ls).alias("l_linestatus"),
+        "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+        "avg_qty", "avg_disc", "count_order",
     )
 
 

@@ -152,16 +152,46 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag, l_linestatus
     HAVING COUNT(*) > 10
     """,
-    doc="Partial (map-side) + final hash agg; 6 groups, so the shuffle is tiny regardless of SF.",
+    doc=(
+        "Partial (map-side) + final hash agg; 6 groups, so the shuffle is tiny "
+        "regardless of SF. Size-adaptive (invariant 29, r12): past "
+        "RUBIX_Q3_LAYOUT_MIN_ROWS the aggregate rides the denormalized lineitem "
+        "layout's l_rf_sid/l_ls_sid dictionary ids — two INTS hash-key the scan "
+        "and the returnflag/linestatus STRINGS are never decoded from parquet; "
+        "the <=9-row aggregate decodes ids via the memoized dictionaries "
+        "(dict_decode_expr). Measured idle min-of-5, no inversion (invariant 16): "
+        "sf0.1 0.245 vs 0.286, sf1 0.241 vs 0.280, sf10 0.505 vs 0.668 strkey — "
+        "so the threshold is 300k (sf0.01 keeps the string body on the driver's "
+        "correctness scale; forced-branch oracle test covers the layout body). "
+        "String-keyed body lives on as the q3_strkey_shuffle ablation."
+    ),
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rubix_spark.fns import money_sum_fast
+    import os
 
-    li = catalog.table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
+    from rubix_spark.fns import money_sum_fast
+    from rubix_spark.sources.bucketing import bucketed_table
+    from rubix_spark.sources.dictionaries import column_dictionary, dict_decode_expr
+    from rubix_spark.sources.stats import parquet_row_count
+
+    min_rows = int(os.environ.get("RUBIX_Q3_LAYOUT_MIN_ROWS", 300_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/lineitem.parquet") < min_rows:
+        from rubix_spark.queries import REGISTRY
+
+        return REGISTRY["q3_strkey_shuffle"].builder(spark, sf_dir)
+
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    agg = (
+        li.groupBy("l_rf_sid", "l_ls_sid")
         .agg(F.count("*").alias("cnt"), money_sum_fast("l_extendedprice", "rev"))
         .where(F.col("cnt") > 10)
+    )
+    rf = column_dictionary(spark, sf_dir, "lineitem", "l_returnflag")
+    ls = column_dictionary(spark, sf_dir, "lineitem", "l_linestatus")
+    return agg.select(
+        dict_decode_expr(F.col("l_rf_sid"), rf).alias("l_returnflag"),
+        dict_decode_expr(F.col("l_ls_sid"), ls).alias("l_linestatus"),
+        "cnt", "rev",
     )
 
 

@@ -259,8 +259,10 @@ def persisted_bucketed(
 # per-table versions (r12): bumping one table's build no longer forces the other
 # fact layout to rebuild at every SF. orders v4 = + o_status_sid/o_priority_pid
 # dictionary ids (q31's grouping keys — the 15M-row base aggregate hash-keys two
-# ints and never decodes the status/priority strings from parquet).
-_DENORM_LAYOUT_VERSIONS = {"lineitem": 3, "orders": 4}
+# ints and never decodes the status/priority strings from parquet). lineitem v4 =
+# + l_rf_sid/l_ls_sid (q3/q28's returnflag/linestatus keys — invariant 29 applied
+# to lineitem's own report keys).
+_DENORM_LAYOUT_VERSIONS = {"lineitem": 4, "orders": 4}
 
 
 def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
@@ -273,6 +275,8 @@ def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
     root = sf_dir.rstrip("/")
     if name == "lineitem":
         def build():
+            from rubix_spark.sources.dictionaries import column_dictionary, dict_id_expr
+
             li = catalog.table(spark, sf_dir, "lineitem")
             supp = catalog.table(spark, sf_dir, "supplier").select(
                 "s_suppkey",
@@ -281,6 +285,14 @@ def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
                 catalog.table(spark, sf_dir, "part"),
                 brand_dictionary(spark, sf_dir),
             ).select("p_partkey", F.col("bid").alias("l_brand_bid"))
+            # dictionary ids for the two low-cardinality report keys (v4, q3/q28:
+            # 1 + rank in the NULLS-FIRST sorted distinct list, as orders v4)
+            rf_sid = dict_id_expr(
+                F.col("l_returnflag"),
+                column_dictionary(spark, sf_dir, "lineitem", "l_returnflag"))
+            ls_sid = dict_id_expr(
+                F.col("l_linestatus"),
+                column_dictionary(spark, sf_dir, "lineitem", "l_linestatus"))
             # ingest-time joins: broadcast the 100k-row supplier map; the part
             # map (6M rows at sf10) is left to the planner/AQE — this is the
             # one-time write path, not a per-query cost
@@ -289,6 +301,8 @@ def _denorm_build(spark: SparkSession, sf_dir: str, name: str):
                         "left").drop("s_suppkey")
                 .join(pid, F.col("l_partkey") == F.col("p_partkey"), "left")
                 .drop("p_partkey")
+                .withColumn("l_rf_sid", rf_sid)
+                .withColumn("l_ls_sid", ls_sid)
             )
 
         return build, (f"{root}/supplier.parquet", f"{root}/part.parquet")

@@ -108,6 +108,17 @@ def dict_id_expr(col, values: list):
     return expr
 
 
+def dict_decode_expr(sid_col, values: list):
+    """Inverse of dict_id_expr: map a 1-based dictionary id back to its string —
+    applied only to POST-AGGREGATE rows (a handful per query), so the CASE ladder
+    costs nothing while the fact-scale scan/aggregate never touches the strings
+    (invariant 29). A NULL value in slot 1 decodes back to NULL."""
+    expr = F.lit(None).cast("string")
+    for i in range(len(values) - 1, -1, -1):
+        expr = F.when(sid_col == F.lit(i + 1), F.lit(values[i])).otherwise(expr)
+    return expr
+
+
 def region_nationkeys(spark: SparkSession, sf_dir: str, regions: tuple[str, ...]) -> list:
     """The nationkeys whose nation sits in one of ``regions`` — the literal in-set
     that pushes a region predicate INTO a denormalized fact scan (q4/q29 over the

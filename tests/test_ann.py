@@ -88,6 +88,37 @@ def test_ivf_codebook_missing_ids_is_explicit(spark):
         _ivf_codebook(emb, (0,))
 
 
+def test_np_exact_branch_is_bit_identical(spark, monkeypatch):
+    """The size-adaptive kernel (r12): dimension-major accumulation must reproduce
+    the interpreted HOF fold bit-for-bit — RAW cosines compared with ==, every row,
+    plus forced-branch top-k equality so the driver oracle covers the kernel."""
+    from pyspark.sql import functions as F
+
+    from rubix_spark import catalog
+    from rubix_spark.ops.similarity import QUERY_VEC_ID, _py_dot, cosine_lit
+
+    emb = catalog.table(spark, SF_T2, "embeddings")
+    qrow = emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    hof = {r.vec_id: r.s for r in emb.select(
+        "vec_id", cosine_lit("embedding", list(qrow.embedding)).alias("s")).collect()}
+    q = np.asarray(qrow.embedding, dtype=np.float64)
+    q_norm = float(_py_dot(qrow.embedding, qrow.embedding)) ** 0.5
+    for r in emb.select("vec_id", "embedding").collect():
+        m = np.asarray(r.embedding, dtype=np.float64)
+        dq = dv = 0.0
+        for j in range(len(m)):
+            dq += m[j] * q[j]
+            dv += m[j] * m[j]
+        s = dq / (np.sqrt(dv) * q_norm)
+        assert s == hof[r.vec_id], (r.vec_id, s, hof[r.vec_id])
+
+    # forced branch: the kernel plan must return the identical top-k
+    base = [(r.vec_id, r.sim) for r in REG["x2_ann_bruteforce"].builder(spark, SF_T2).collect()]
+    monkeypatch.setenv("RUBIX_X2_NP_MIN_ROWS", "0")
+    forced = [(r.vec_id, r.sim) for r in REG["x2_ann_bruteforce"].builder(spark, SF_T2).collect()]
+    assert base == forced
+
+
 def test_bruteforce_np_matches_hof_exact(spark):
     for sf in (SF_SMOKE, SF_T2):
         hof = [(r.vec_id, r.sim) for r in REG["x2_ann_bruteforce"].builder(spark, sf).collect()]

@@ -94,6 +94,22 @@ def test_orders_dictionary_ids_match(spark):
     assert mismatch == 0
 
 
+def test_lineitem_dictionary_ids_match(spark):
+    """r12 (v4): l_rf_sid/l_ls_sid equal the session dictionary's mapping for
+    every row — the shared assignment rule q3/q28's decode relies on."""
+    from rubix_spark.sources.dictionaries import column_dictionary, dict_id_expr
+
+    li_dn = bucketed_table(spark, SF_SMOKE, "lineitem", "l_orderkey")
+    rf = dict_id_expr(
+        F.col("l_returnflag"), column_dictionary(spark, SF_SMOKE, "lineitem", "l_returnflag"))
+    ls = dict_id_expr(
+        F.col("l_linestatus"), column_dictionary(spark, SF_SMOKE, "lineitem", "l_linestatus"))
+    mismatch = li_dn.where(
+        ~F.col("l_rf_sid").eqNullSafe(rf) | ~F.col("l_ls_sid").eqNullSafe(ls)
+    ).count()
+    assert mismatch == 0
+
+
 @pytest.mark.parametrize("name,env", [
     ("q4_star_join", "RUBIX_Q4_LAYOUT_MIN_ROWS"),
     ("q30_yoy_delta", "RUBIX_Q30_LAYOUT_MIN_ROWS"),
@@ -101,6 +117,9 @@ def test_orders_dictionary_ids_match(spark):
     ("x9_pack", "RUBIX_X9PACK_LAYOUT_MIN_ROWS"),
     ("x1_dedup_components", "RUBIX_CC_STAR_MIN_ROWS"),
     ("q31_grouping_sets", "RUBIX_Q31_LAYOUT_MIN_ROWS"),
+    ("q3_agg_having", "RUBIX_Q3_LAYOUT_MIN_ROWS"),
+    ("q28_tpch_q1", "RUBIX_Q3_LAYOUT_MIN_ROWS"),
+    ("x2_ann_bruteforce", "RUBIX_X2_NP_MIN_ROWS"),
 ])
 def test_forced_layout_branch_matches_oracle(spark, monkeypatch, name, env):
     monkeypatch.setenv(env, "0")
@@ -124,8 +143,10 @@ def test_natkey_null_sentinel_contract(spark, tmp_path):
     ).write.parquet(f"{sf}/part.parquet")
     spark.createDataFrame(
         # suppkey 1 -> natkey 10; suppkey 2 -> matched, NULL natkey; 3 -> missing
-        [(1, 1, 1, 100), (1, 2, 2, 100), (1, 3, 3, 100)],
-        "l_orderkey bigint, l_linenumber int, l_suppkey bigint, l_partkey bigint",
+        # (v4: the build also dictionary-encodes l_returnflag/l_linestatus)
+        [(1, 1, 1, 100, "N", "O"), (1, 2, 2, 100, "R", "F"), (1, 3, 3, 100, None, "F")],
+        "l_orderkey bigint, l_linenumber int, l_suppkey bigint, l_partkey bigint,"
+        " l_returnflag string, l_linestatus string",
     ).write.parquet(f"{sf}/lineitem.parquet")
     build, _ = _denorm_build(spark, sf, "lineitem")
     got = {r["l_suppkey"]: r["l_supp_natkey"] for r in build().collect()}
