@@ -617,6 +617,56 @@ def _star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hub_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via HUB-GRAPH CONTRACTION (the 'next lever' named when
+    the star edges shipped): run label propagation over the bucket HUBS only, then
+    attach members in one join.
+
+    From the band table, each (band, band_key) bucket of size > 1 contributes its
+    min doc_id as hub; a doc belonging to buckets with hubs {h0 < h1 < ...} adds
+    hub edges (h0, hi) — connectivity between hubs is exactly star-graph
+    connectivity with the member hop CONTRACTED away, so the propagation walks
+    half the diameter over a frame of |hubs| <= |buckets| nodes instead of all
+    docs. Same-session A/B at sf10: star CC 13.11 s (9 rounds over 500k labels,
+    6 of them tail rounds at the ~0.4 s scheduler floor) -> hub CC 6.98 s,
+    identical 499,571 rows; sf1 3.03 -> 2.25; sf0.1 0.96 (pairs) -> 0.66.
+
+    Equivalences that make the attach exact (pinned in tests/test_denorm_layout):
+    - the min doc of a component is always a hub (it is min of its own bucket), so
+      min-label CC over hubs yields the SAME component ids;
+    - a member's component is its min-hub's component (h0 is adjacent to every
+      other hub the doc touches);
+    - a hub with no hub edges (its buckets share no doc with other buckets) is its
+      own component — the attach coalesces to h0.
+    Node set matches _star_edges': docs appearing in a bucket of size > 1."""
+    from pyspark.sql.window import Window
+
+    bands = _band_table(spark, sf_dir)
+    w = Window.partitionBy("band", "band_key")
+    dh = (
+        bands.withColumn("hub", F.min("doc_id").over(w))
+        .withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") > 1)
+        .select("doc_id", "hub")
+        .distinct()
+        .localCheckpoint()  # two consumers below — don't re-run the band window
+    )
+    doc_min = dh.groupBy("doc_id").agg(F.min("hub").alias("h0"))
+    hub_edges = (
+        dh.join(doc_min, "doc_id")
+        .where(F.col("hub") != F.col("h0"))
+        .select(F.col("h0").alias("doc_a"), F.col("hub").alias("doc_b"))
+        .distinct()
+    )
+    hub_labels = connected_components(hub_edges, "doc_a", "doc_b").select(
+        F.col("doc_id").alias("_h"), F.col("component").alias("_c")
+    )
+    return (
+        doc_min.join(hub_labels, doc_min["h0"] == F.col("_h"), "left")
+        .select("doc_id", F.coalesce("_c", "h0").alias("component"))
+    )
+
+
 @register(
     "x1_dedup_components",
     f"""
@@ -648,34 +698,35 @@ def _star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Near-dup clustering: connected components over the MinHash-LSH candidate graph "
         "(min-label propagation, iterative joins — the step that turns pairwise matches "
-        "into dedup groups with one survivor each). Round-11: past 100k docs the "
-        "edge list is the per-bucket STAR (bucket-min -> member, see _star_edges), "
-        "not the bucket clique — identical connectivity, O(bucket) edges instead "
-        "of O(bucket^2); the sf30 rotation cliques had made the pair list 185.8M "
-        "rows and the pair join + every propagation round super-linear (484 -> "
-        "49 s). Below the RUBIX_CC_STAR_MIN_ROWS branch the all-pairs list stays "
-        "(stars walk ~2 extra hub-chain rounds, which costs more at toy scale); "
-        "star-vs-clique label equivalence is pinned in tests/test_denorm_layout. "
-        "Oracle restates it as a recursive-CTE transitive closure over the clique "
-        "pairs (equivalent closure)."
+        "into dedup groups with one survivor each). Round-11 replaced the bucket "
+        "CLIQUES with per-bucket star edges (O(bucket) not O(bucket^2) — the sf30 "
+        "pair list was 185.8M rows, 484 -> 49 s); round-12 session 2 CONTRACTS the "
+        "member hop away entirely (_hub_components): label propagation runs over "
+        "the bucket hubs only and members attach by min-hub in one join — half the "
+        "diameter, |hubs| labels instead of |docs| (sf10 protocol row 9.52 -> "
+        "3.57 s; equivalences in the _hub_components docstring, pinned vs pairs/"
+        "star CC in tests/test_denorm_layout). Below RUBIX_CC_HUB_MIN_ROWS the "
+        "all-pairs list stays (driver's sf0.01 scale keeps both bodies "
+        "oracle-exercised). Oracle restates it as a recursive-CTE transitive "
+        "closure over the clique pairs (equivalent closure)."
     ),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Size-adaptive (invariant 16, measured at all four SFs): star edges walk ~2
-    # extra propagation rounds (hub chains), which costs more than the all-pairs
-    # join SAVES while the pair list is small (sf1: pairs 2.37 s vs stars 4.48 —
-    # 229k pairs are cheap); past ~100k docs the clique blowup dominates
-    # completely (sf10: 32.8 -> 9.5 s; sf30: pairs 185.8M rows, 484 s -> 49 s).
+    # Size-adaptive (invariant 16, re-measured r12 session 2): hub contraction
+    # wins at EVERY timed point — same-session A/B vs the previous branch winner:
+    # sf0.1 0.66 vs 0.96 pairs, sf1 2.25 vs 3.03 star, sf10 6.98 vs 13.11 star
+    # (protocol row: 9.52 -> 3.57 s) — so the threshold only preserves the
+    # all-pairs path on the driver's sf0.01 correctness scale (500 docs), where
+    # both bodies stay oracle-exercised (forced-branch test covers hub there).
     import os
 
     from rubix_spark.sources.stats import parquet_row_count
 
-    min_rows = int(os.environ.get("RUBIX_CC_STAR_MIN_ROWS", 100_000))
+    min_rows = int(os.environ.get("RUBIX_CC_HUB_MIN_ROWS", 2_000))
     if parquet_row_count(f"{sf_dir.rstrip('/')}/documents.parquet") < min_rows:
         edges = minhash_lsh(spark, sf_dir)
-    else:
-        edges = _star_edges(spark, sf_dir)
-    return connected_components(edges, "doc_a", "doc_b")
+        return connected_components(edges, "doc_a", "doc_b")
+    return _hub_components(spark, sf_dir)
 
 
 @register(

@@ -115,7 +115,7 @@ def test_lineitem_dictionary_ids_match(spark):
     ("q30_yoy_delta", "RUBIX_Q30_LAYOUT_MIN_ROWS"),
     ("x7_range_join", "RUBIX_X7_LAYOUT_MIN_ROWS"),
     ("x9_pack", "RUBIX_X9PACK_LAYOUT_MIN_ROWS"),
-    ("x1_dedup_components", "RUBIX_CC_STAR_MIN_ROWS"),
+    ("x1_dedup_components", "RUBIX_CC_HUB_MIN_ROWS"),
     ("q31_grouping_sets", "RUBIX_Q31_LAYOUT_MIN_ROWS"),
     ("q3_agg_having", "RUBIX_Q3_LAYOUT_MIN_ROWS"),
     ("q28_tpch_q1", "RUBIX_Q3_LAYOUT_MIN_ROWS"),
@@ -202,6 +202,10 @@ def test_star_edges_give_identical_components(spark):
     assert via_pairs == via_stars
     # and the star list is never LARGER than the clique list
     assert stars.count() <= pairs.count()
+    # r12 session 2: hub contraction (propagation over bucket hubs only, members
+    # attached by min-hub) must yield the identical labels too
+    via_hubs = sorted(map(tuple, dedup._hub_components(spark, SF_SMOKE).collect()))
+    assert via_pairs == via_hubs
 
 
 def test_frontier_propagation_matches_union_find(spark):
