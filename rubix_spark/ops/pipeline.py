@@ -91,25 +91,102 @@ def x9_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x9_repetition",
-    f"""
+_X9_REP_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_tok.duck_shingles(_tok.duck_tokens('text'), 3)} AS sh FROM documents)
     SELECT doc_id,
            FLOOR((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) * 10000 + 0.5) / 10000.0
                AS dup3_ratio
     FROM t WHERE len(sh) > 0
-    """,
+    """
+
+
+def _rep_kernel(batches):
+    """Per-doc duplicate-3-gram ratio, fully vectorized and doc-local.
+
+    Exactness: a 3-gram shingle string is a bijection of its token TRIPLE (tokens
+    carry no spaces), so distinct-shingle counts equal distinct-triple counts.
+    Tokens are dictionary-encoded in C++ (exact string identity), the triple is
+    packed into one int64 in two rounds of base-(n+1) re-iding (each factor is
+    bounded by the partition's token count, so the products stay < 2^63 by
+    construction), and the per-doc distinct count is a lexsort + run-boundary
+    scan. The 1.0 - dist/total and floor-round arithmetic replicates
+    round_det(.., 4)'s IEEE ops bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        text = b.column(1)
+        norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(norm, " +", " "))
+        toks = pc.split_pattern(norm, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n < 3:
+            continue
+        ids = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.int64(n + 1)
+        k1 = ids[: n - 2] * base + ids[1 : n - 1]
+        _, inv = np.unique(k1, return_inverse=True)
+        k2 = inv.astype(np.int64) * base + ids[2:]
+        idx = np.arange(n - 2)
+        doc_of = np.searchsorted(offs, idx, side="right") - 1
+        valid = idx <= offs[doc_of + 1] - 3  # a window must not cross its doc's end
+        if not valid.any():
+            continue
+        dsel = doc_of[valid]
+        keys = k2[valid]
+        order = np.lexsort((keys, dsel))
+        d_s, k_s = dsel[order], keys[order]
+        new = np.ones(len(d_s), bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+        docs_u, first_idx, tot = np.unique(d_s, return_index=True, return_counts=True)
+        dist = np.add.reduceat(new.astype(np.int64), first_idx)
+        ratio = 1.0 - dist.astype(np.float64) / tot.astype(np.float64)
+        ratio = np.floor(ratio * 10000 + 0.5) / 10000.0
+        yield pa.record_batch({
+            "doc_id": pa.array(b.column(0).to_numpy(zero_copy_only=False)[docs_u], pa.int64()),
+            "dup3_ratio": pa.array(ratio, pa.float64()),
+        })
+
+
+@register(
+    "x9_repetition",
+    _X9_REP_ORACLE,
     doc=(
-        "Gopher-style repetition quality signal: fraction of duplicate 3-grams per doc "
-        "(1 - distinct/total). Pure array expressions, zero shuffle."
+        "Gopher-style repetition quality signal: fraction of duplicate 3-grams per "
+        "doc (1 - distinct/total). The signal is doc-LOCAL, so it runs as ONE "
+        "zero-shuffle mapInArrow kernel (_rep_kernel: dictionary-encoded token "
+        "triples, per-doc segmented distinct) — the r4 explode+countDistinct form "
+        "shuffled every (doc_id, shingle STRING) pair, ~token-count of the corpus "
+        "rows (sf10: 19.2 -> 2.0 s, sf1 2.30 -> 0.36, sf0.1 0.94 -> 0.30; "
+        "identical output at every SF — tools/proto_x9_repetition.py). JVM array "
+        "expressions were re-tried and re-rejected: both the rand-barrier and the "
+        "lambda-bound forms leave interpreted/re-inlined tokenizers (25-51 s at "
+        "sf0.1, invariants 3/10). Explode body lives on as x9_repetition_explode."
     ),
 )
 def x9_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # explode + aggregate instead of array expressions: referencing the shingle array in
-    # several expressions lets projection collapse inline the tokenizer into each
-    # element access (measured 27s -> 0.6s at sf0.1); the generator form keeps the
-    # pipeline linear and partial-aggregates per doc
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_rep_kernel, "doc_id bigint, dup3_ratio double")
+
+
+@register(
+    "x9_repetition_explode",
+    _X9_REP_ORACLE,
+    doc=(
+        "x9_repetition's r4-r12 body: explode(shingles) + countDistinct — the "
+        "partial-aggregate form that dodged tokenizer re-inlining before the Arrow "
+        "kernel existed. Kept as the measured ablation (the shuffle it pays is "
+        "~one row per corpus token); same oracle."
+    ),
+)
+def x9_repetition_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _toks_df(spark, sf_dir).select(
         "doc_id", F.explode(_tok.shingles(F.col("toks"), 3)).alias("sh")
     )
