@@ -84,6 +84,16 @@ def test_semantic_dedup_np_agrees_with_exact_variant(spark):
     assert exact == npv
 
 
+def test_semantic_dedup_np_tiled_agrees(spark, monkeypatch):
+    """r12 session 2: the tiled decomposition (every cluster split into hash-block
+    tile pairs) must keep the same vectors as the exact variant even when nb > 1 —
+    the fixture scales only exercise nb == 1 without forcing a tiny tile."""
+    monkeypatch.setenv("RUBIX_SEM_TILE_ROWS", "16")  # ~500/16/16 -> nb >= 2
+    exact = {(r.vec_id, r.cid, r.kept) for r in REGISTRY["x1_semantic_dedup"].builder(spark, SF).collect()}
+    npv = {(r.vec_id, r.cid, r.kept) for r in REGISTRY["x1_semantic_dedup_np"].builder(spark, SF).collect()}
+    assert exact == npv
+
+
 def test_approx_quantiles_within_rank_error(spark):
     """x6_approx_quantiles (rows-only gate): each GK estimate must fall between the
     exact quantiles at q±eps (rank-error guarantee for accuracy 10000 -> eps 1e-4,
