@@ -639,9 +639,15 @@ def _hub_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     - a hub with no hub edges (its buckets share no doc with other buckets) is its
       own component — the attach coalesces to h0.
     Node set matches _star_edges': docs appearing in a bucket of size > 1."""
+    return _hub_components_from_bands(_band_table(spark, sf_dir))
+
+
+def _hub_components_from_bands(bands: DataFrame) -> DataFrame:
+    """Core of _hub_components over an arbitrary (doc_id, band, band_key) frame —
+    split out so the random-bucket property test can pin hub-vs-pairs label
+    equality on adversarial bucket structures, not just the fixtures."""
     from pyspark.sql.window import Window
 
-    bands = _band_table(spark, sf_dir)
     w = Window.partitionBy("band", "band_key")
     dh = (
         bands.withColumn("hub", F.min("doc_id").over(w))

@@ -1,0 +1,177 @@
+"""Adversarial-input equivalence for the r12 session-2 vectorized kernels.
+
+The oracle gate proves these on the fixture corpora; these tests pin them on
+synthetic inputs built to hit the edge cases the fixtures don't: empty/punct-only
+docs, underscore runs (RE2 \\b word chars!), unicode that lowercases differently
+across engines, all-NaN median groups, NULL group keys, duplicate and zero
+vectors, and forced multi-tile cluster decomposition.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from rubix_spark.queries import load_all
+
+REG = load_all()
+
+
+@pytest.fixture(scope="module")
+def adversarial_docs_dir(tmp_path_factory):
+    rng = random.Random(11)
+    vocab = ["the", "cat", "sat", "Mat", "42", "x1", "ünïcode", "İstanbul", "a"]
+    punct = ["", " ", "  ", "_", "__", "...", "—", "\t", "\n"]
+    texts = [
+        "",                      # no tokens
+        "...!!!___",             # punct only -> no tokens
+        "one",                   # 1 token  (no 3-grams)
+        "one two",               # 2 tokens (no 3-grams)
+        "one two three",         # exactly one 3-gram
+        "a a a a a a",           # maximal repetition
+        "_the_the_the_",         # underscores are separators for tokens() but WORD
+                                 # chars for RE2 \b — the class of bug the kernels
+                                 # must not reintroduce
+        "İİİ ßß the THE The tHe",  # unicode stripped before lowering
+        " ".join(["tok"] * 500),   # long single-token run
+    ]
+    for _ in range(200):
+        n = rng.randint(0, 40)
+        texts.append("".join(rng.choice(vocab) + rng.choice(punct) for _ in range(n)))
+    d = tmp_path_factory.mktemp("advdocs")
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["synth"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_kernel_matches_explode_on_adversarial_text(spark, adversarial_docs_dir):
+    """The zero-shuffle Arrow kernel and the explode+countDistinct body share one
+    oracle; on adversarial text they must agree row-for-row."""
+    k = sorted((r.doc_id, r.dup3_ratio) for r in
+               REG["x9_repetition"].builder(spark, adversarial_docs_dir).collect())
+    e = sorted((r.doc_id, r.dup3_ratio) for r in
+               REG["x9_repetition_explode"].builder(spark, adversarial_docs_dir).collect())
+    assert k == e
+    assert len(k) > 50  # the random docs actually produced 3-grams
+
+
+def test_median_map_kernel_matches_pandas_model(spark):
+    """_median_map (ONE mapInArrow pass) vs a driver-side model with the exact
+    pd.Series.median semantics: NULL/NaN skipped, all-NaN group -> NULL, NULL
+    group key kept as its own group."""
+    import math
+
+    from rubix_spark.ops.udf import _median_map
+
+    rng = random.Random(23)
+    rows = []
+    for _ in range(3000):
+        uid = rng.choice([None, 1, 2, 3, 5, 8, 13, 21, 34, 55])
+        v = rng.choice([None, float("nan"), rng.uniform(-100, 100),
+                        rng.uniform(-100, 100), rng.uniform(-100, 100)])
+        rows.append((uid, v))
+    rows.append((99, None))            # all-NULL group
+    rows.append((98, float("nan")))    # all-NaN group
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    got = {
+        r.user_id: r.med_raw
+        for r in df.repartition(8, "user_id")
+        .mapInArrow(_median_map, "user_id bigint, med_raw double")
+        .collect()
+    }
+    # driver model
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for uid, v in rows:
+        groups[uid].append(v)
+    assert set(got) == set(groups)
+    for uid, vals in groups.items():
+        clean = sorted(v for v in vals if v is not None and not math.isnan(v))
+        if not clean:
+            assert got[uid] is None, uid
+            continue
+        mid = (clean[(len(clean) - 1) // 2] + clean[len(clean) // 2]) / 2.0
+        assert got[uid] == mid, (uid, got[uid], mid)
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_dir(tmp_path_factory):
+    rng = np.random.default_rng(31)
+    n, dim = 600, 16
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    m[50] = m[40]          # exact duplicate pair
+    m[60] = 2.0 * m[40]    # colinear (cos == 1 after normalize)
+    m[70] = 0.0            # zero vector (norm guard)
+    d = tmp_path_factory.mktemp("advemb")
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row for row in m.tolist()], pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_sem_tile_decomposition_matches_direct_kernel(spark, adversarial_emb_dir, monkeypatch):
+    """Forced multi-tile decomposition (nb > 1) must keep exactly the vectors the
+    direct per-cluster kernel keeps, including exact-dup / colinear / zero rows."""
+    direct = {(r.vec_id, r.cid, r.kept) for r in
+              REG["x1_semantic_dedup_np"].builder(spark, adversarial_emb_dir).collect()}
+    monkeypatch.setenv("RUBIX_SEM_TILE_ROWS", "8")  # 600/16/8 -> nb >= 5
+    tiled = {(r.vec_id, r.cid, r.kept) for r in
+             REG["x1_semantic_dedup_np"].builder(spark, adversarial_emb_dir).collect()}
+    assert direct == tiled
+    kept = {v for v, _, k in direct if k == 0}
+    assert 50 in kept or 60 in kept  # the planted duplicates actually dropped rows
+
+
+def test_hub_components_match_pairs_on_random_buckets(spark):
+    """_hub_components_from_bands vs all-pairs CC on adversarial bucket
+    structures: overlapping chains (hub chains longer than the clique diameter),
+    singleton buckets (must NOT appear in the output), and shared-member bridges."""
+    from rubix_spark.ops.dedup import _hub_components_from_bands, connected_components
+
+    rng = random.Random(41)
+    bands = []
+    # chain of buckets overlapping by one doc: 0-4, 4-8, 8-12, ... (long hub chain)
+    for b in range(12):
+        for doc in range(b * 4, b * 4 + 5):
+            bands.append((doc, 0, str(b)))
+    # random buckets incl. singletons
+    for b in range(40):
+        size = rng.choice([1, 1, 2, 3, 5])
+        docs = rng.sample(range(100, 200), size)
+        for doc in docs:
+            bands.append((doc, 1, str(b)))
+    bdf = spark.createDataFrame(bands, "doc_id bigint, band int, band_key string")
+    hub = sorted(map(tuple, _hub_components_from_bands(bdf).collect()))
+
+    # reference: all-pairs edges within each bucket -> CC
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for doc, band, key in bands:
+        buckets[(band, key)].append(doc)
+    pairs = set()
+    for docs in buckets.values():
+        docs = sorted(set(docs))
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs.add((docs[i], docs[j]))
+    if pairs:
+        pdf = spark.createDataFrame(sorted(pairs), "doc_a bigint, doc_b bigint")
+        ref = sorted(map(tuple, connected_components(pdf, "doc_a", "doc_b").collect()))
+    else:
+        ref = []
+    assert hub == ref
