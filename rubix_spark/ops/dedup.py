@@ -1174,6 +1174,59 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_K = 8  # window tokens: every duplicated run of >= K tokens contains >= 1 window
 
 
+def _substring_win_kernel(batches):
+    """Stage-1 Arrow kernel shared by the graded builder and the stage-2 A/B
+    harness (tools/proto_substring_stage2.py): tokenize, stride-1 K-token windows
+    over the flat token buffer, emit (doc_id, pos, sh)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    K = _SUBSTR_K
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        text = pa.array(pdf["text"], pa.string())
+        norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(norm, " +", " "))
+        toks = pc.split_pattern(norm, " ")
+        flat = toks.values
+        offs = toks.offsets.to_numpy()
+        n = len(flat)
+        if n < K:
+            continue
+        sh_all = pc.binary_join_element_wise(
+            *[flat.slice(j, n - K + 1) for j in range(K)], " "
+        )
+        idx = np.arange(n - K + 1)
+        doc_of = np.searchsorted(offs, idx, side="right") - 1
+        valid = idx <= offs[doc_of + 1] - K  # window must not cross its doc's end
+        if not valid.any():
+            continue
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy()[doc_of[valid]],
+                "pos": (idx - offs[doc_of])[valid],
+                "sh": sh_all.to_numpy(zero_copy_only=False)[valid],
+            }
+        )
+
+
+def _substring_wins_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h1, h2) window rows — stage 1 of x1_substring_dedup: the
+    Arrow kernel plus the independently-seeded xxhash64 pair projection (r11:
+    h2 salts FIRST, so the pair is an effective 128-bit key in 16 bytes)."""
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _substring_win_kernel, "doc_id bigint, pos long, sh string"
+    ).select(
+        "doc_id", "pos",
+        F.xxhash64(F.col("sh")).alias("h1"),
+        F.xxhash64(F.lit(1), F.col("sh")).alias("h2"),
+    )
+
+
 @register(
     "x1_substring_dedup",
     f"""
@@ -1232,59 +1285,23 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. Merge overlapping/adjacent [pos, pos+K) intervals per doc (gaps-and-islands:
        lag -> break flag -> running island id -> min/max per island). One shuffle
        keyed on doc_id. At 100 TB both shuffles move ~(8+4+16)-byte rows, ~token
-       count of the corpus — the same volume the suffix-array build would sort."""
+       count of the corpus — the same volume the suffix-array build would sort.
+
+    Stage-2 alternative MEASURED AND REJECTED (r12 session 2,
+    tools/proto_substring_stage2.py): hash-agg dup-key set + shuffle-hash LEFT
+    SEMI join removes the big side's sort but adds a second full exchange — it
+    TIES the count window at both sf0.1 (0.74 vs 0.75) and sf10 (6.33 vs 6.37,
+    identical spans), so the row's cost is the kernel + exchange volume, not the
+    sort order. The window form stays (one exchange, simpler plan)."""
     from pyspark.sql.window import Window
 
     K = _SUBSTR_K
-    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def win_kernel(batches):
-        import numpy as np
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            text = pa.array(pdf["text"], pa.string())
-            norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
-            norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(norm, " +", " "))
-            toks = pc.split_pattern(norm, " ")
-            flat = toks.values
-            offs = toks.offsets.to_numpy()
-            n = len(flat)
-            if n < K:
-                continue
-            sh_all = pc.binary_join_element_wise(
-                *[flat.slice(j, n - K + 1) for j in range(K)], " "
-            )
-            idx = np.arange(n - K + 1)
-            doc_of = np.searchsorted(offs, idx, side="right") - 1
-            valid = idx <= offs[doc_of + 1] - K  # window must not cross its doc's end
-            if not valid.any():
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy()[doc_of[valid]],
-                    "pos": (idx - offs[doc_of])[valid],
-                    "sh": sh_all.to_numpy(zero_copy_only=False)[valid],
-                }
-            )
-
     # Round-11: the duplicate key is a PAIR of independently-seeded xxhash64 longs
-    # instead of the 32-char md5 hex string — h2 salts FIRST (Spark chains column
-    # hashes, so xxhash64(lit(1), sh) == xxhash64 of sh under a different seed),
-    # making (h1, h2) an effective 128-bit key with md5's birthday bound at corpus
-    # scale, while the count-window shuffle moves 16 bytes of key instead of ~40
-    # and compares longs instead of strings (sf10 11.2 -> 9.5 s, sf0.1 1.02 ->
-    # 0.83 — tools/proto_substring.py). The hash is internal to the engine: both
+    # instead of the 32-char md5 hex string (see _substring_wins_frame) — 16-byte
+    # long keys through the count shuffle (sf10 11.2 -> 9.5 s, sf0.1 1.02 -> 0.83
+    # — tools/proto_substring.py). The hash is internal to the engine: both
     # engines only ever compare duplicate POSITION sets, so the oracle keeps md5.
-    wins = docs.mapInPandas(win_kernel, "doc_id bigint, pos long, sh string").select(
-        "doc_id", "pos",
-        F.xxhash64(F.col("sh")).alias("h1"),
-        F.xxhash64(F.lit(1), F.col("sh")).alias("h2"),
-    )
+    wins = _substring_wins_frame(spark, sf_dir)
     hits = (
         wins.withColumn("c", F.count("*").over(Window.partitionBy("h1", "h2")))
         .where(F.col("c") >= 2)
