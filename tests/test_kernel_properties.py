@@ -175,3 +175,27 @@ def test_hub_components_match_pairs_on_random_buckets(spark):
     else:
         ref = []
     assert hub == ref
+
+
+@pytest.mark.parametrize("name", [
+    "x9_repetition", "x1_substring_dedup", "x3_fingerprint",
+    "x3_quality", "x3_token_count", "x3_langid",
+])
+def test_text_ops_match_oracle_on_adversarial_text(spark, adversarial_docs_dir, name):
+    """Cross-engine parity beyond the generated fixtures: each text op's Spark
+    plan and its DuckDB oracle must agree on the edge-case corpus (unicode that
+    case-folds differently, underscore runs, empty/punct-only docs). This is the
+    tokenizer-parity property test extended to the full operators."""
+    import duckdb
+
+    q = REG[name]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{adversarial_docs_dir}/documents.parquet'"
+    )
+    o = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    s = sorted(tuple(r) for r in q.builder(spark, adversarial_docs_dir).collect())
+    assert s == o, f"{name}: spark={len(s)} rows, oracle={len(o)} rows; first diff: " + str(
+        next((a, b) for a, b in zip(s, o) if a != b) if len(s) == len(o) else "row count"
+    )
