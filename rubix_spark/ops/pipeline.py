@@ -323,23 +323,35 @@ def x9_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9][0-9 ()+.-]{8,}[0-9]"
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 @register(
     "x9_pii_redact",
     f"""
     SELECT doc_id,
-           LENGTH(text) - LENGTH(regexp_replace(lower(text), '{_PII_RE}', '', 'g')) AS chars_redacted,
-           md5(regexp_replace(lower(text), '{_PII_RE}', '<PII>', 'g')) AS redacted_md5
+           LENGTH(text) - LENGTH(regexp_replace(translate(text, '{_UPPER}', '{_LOWER}'),
+                                                '{_PII_RE}', '', 'g')) AS chars_redacted,
+           md5(regexp_replace(translate(text, '{_UPPER}', '{_LOWER}'), '{_PII_RE}', '<PII>', 'g'))
+               AS redacted_md5
     FROM documents WHERE doc_id < 200
     """,
     doc=(
         "PII scrubbing pass: email/phone-shaped patterns replaced with a sentinel; emits "
         "redaction counts + a fingerprint of the redacted text (content stays "
-        "distributed). Pure JVM regex — at 100 TB this is a linear scan-rewrite."
+        "distributed). Pure JVM regex — at 100 TB this is a linear scan-rewrite. "
+        "Case-insensitivity via ASCII translate(A-Z -> a-z), NOT lower() (r12 "
+        "session 2): JVM lower('İ') expands U+0130 to TWO codepoints while DuckDB "
+        "counts graphemes — on unicode text the old form reported NEGATIVE "
+        "chars_redacted and engine-divergent fingerprints (adversarial-corpus "
+        "parity test). translate is 1:1 and byte-identical in both engines; the "
+        "PII patterns themselves are ASCII-only."
     ),
 )
 def x9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    low = F.lower("text")
+    low = F.translate("text", _UPPER, _LOWER)
     redacted = F.regexp_replace(low, _PII_RE, "<PII>")
     return docs.select(
         "doc_id",

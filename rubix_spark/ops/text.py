@@ -257,9 +257,12 @@ def quality_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))).cast("double")
         / F.nullif(n_tok, F.lit(0))
     )
+    # nullif guard (r12 session 2): an EMPTY document made this a 0/0 — ANSI mode
+    # raises DIVIDE_BY_ZERO where DuckDB's double division yields NULL; the
+    # adversarial-corpus parity test caught it (the Arrow kernel already guarded)
     punct_ratio = (
         (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))).cast("double")
-        / F.length("text")
+        / F.nullif(F.length("text"), F.lit(0))
     )
     per_doc = with_toks.select(
         "source", n_tok.alias("n_tok"), stop_ratio.alias("stop_ratio"), punct_ratio.alias("punct_ratio")

@@ -180,6 +180,13 @@ def test_hub_components_match_pairs_on_random_buckets(spark):
 @pytest.mark.parametrize("name", [
     "x9_repetition", "x1_substring_dedup", "x3_fingerprint",
     "x3_quality", "x3_token_count", "x3_langid",
+    "x1_dedup_exact", "x1_dedup_keep_first", "x1_minhash_lsh",
+    "x1_dedup_components", "x1_simhash", "x1_ngram_jaccard",
+    "x1_diversity_keep", "x1_incremental_neardup",
+    "x3_text_stats", "x3_token_stats", "x3_quality_jvm", "x3_unigram_lm",
+    "x3_keywords", "x9_chunk", "x9_sample_strata", "x9_contamination",
+    "x9_pii_redact", "x9_token_hist", "x9_boilerplate", "x9_train_test",
+    "x9_pack", "x9_mixture",
 ])
 def test_text_ops_match_oracle_on_adversarial_text(spark, adversarial_docs_dir, name):
     """Cross-engine parity beyond the generated fixtures: each text op's Spark
