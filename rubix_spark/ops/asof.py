@@ -98,16 +98,32 @@ def asof_join(
         )
         return merged[out_cols]
 
+    # NULL-key contract (r12 session 2, SQL join semantics — pinned by the
+    # adversarial-events parity test): a NULL right key/timestamp can never
+    # match (the oracle's c.user_id = p.user_id / c.ts <= p.ts are both false on
+    # NULL), and a NULL-key or NULL-ts LEFT row passes through with NULL match
+    # columns instead of entering merge_asof (pandas NaT/None by-keys would
+    # otherwise self-match or raise on unsorted NaT).
+    rb = rb.where(F.col("_asof_by").isNotNull() & F.col(ron).isNotNull())
+    null_left = left.where(F.col(by).isNull() | F.col(on).isNull())
+    main_left = left.where(F.col(by).isNotNull() & F.col(on).isNotNull())
+
     # the bucket is materialized as a NAMED column on each side independently —
     # grouping both sides by one shared expression object mis-binds on self-derived
     # frames for the same exprId reason
-    lb = left.withColumn("_asof_bucket", F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)))
+    lb = main_left.withColumn("_asof_bucket", F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)))
     rb = rb.withColumn("_asof_bucket", F.pmod(F.xxhash64(F.col("_asof_by")), F.lit(n_buckets)))
-    return (
+    merged = (
         lb.groupBy("_asof_bucket")
         .cogroup(rb.groupBy("_asof_bucket"))
         .applyInPandas(merge, schema=out_fields)
     )
+    passthrough = null_left.select(
+        *l_cols,
+        F.lit(None).cast(r_schema[on]).alias(ron),
+        *[F.lit(None).cast(r_schema[c]).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    return merged.unionByName(passthrough)
 
 
 @register(
@@ -135,8 +151,15 @@ def x7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_ts = F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True)
+    # NULL-user guard (r12 session 2): the window's NULL partition would match
+    # NULL-user purchases with NULL-user clicks, but SQL join semantics (the
+    # oracle's c.user_id = p.user_id) never match NULL keys — those purchases
+    # keep a NULL click_ts (adversarial-events parity test).
     return (
-        ev.withColumn("click_ts", click_ts.over(w))
+        ev.withColumn(
+            "click_ts",
+            F.when(F.col("user_id").isNotNull(), click_ts.over(w)),
+        )
         .where(F.col("event_type") == "purchase")
         .select("user_id", "event_id", "click_ts")
     )
@@ -186,6 +209,11 @@ def _range_join_body(base: DataFrame) -> DataFrame:
     stream — shared by the shuffle and layout forms; [p_us - WINDOW, p_us) on
     integer micros == rangeBetween(-WINDOW, -1)."""
     w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-_WINDOW_US, -1)
+    # NULL keys/timestamps never join (SQL semantics; the oracle is an INNER
+    # join on user_id with ts comparisons) — without this the window's NULL
+    # partition would pair NULL-user purchases with NULL-user clicks
+    # (adversarial-events parity test, r12 s2)
+    base = base.where(F.col("user_id").isNotNull() & F.col("us").isNotNull())
     return (
         base.select(
             "event_id", "event_type",
@@ -201,13 +229,17 @@ def _range_join_body(base: DataFrame) -> DataFrame:
 
 
 def _range_cols(us_col):
+    # cv is NULL for every non-contributing row (r12 s2 — was otherwise(0)):
+    # SUM skips NULLs, so the window sum carries EXACT SQL semantics for free —
+    # all matched clicks NULL-valued -> sv NULL -> click_v NULL, matching the
+    # oracle (adversarial-events parity: the 0-fold read 0.0 there). cf stays
+    # 0/1 non-null because the n_clicks > 0 filter needs a non-null count.
+    click = F.col("event_type") == "click"
+    has_v = click & F.col("value").isNotNull()
     return [
         "event_id", "user_id", us_col.alias("us"), "event_type",
-        F.when(
-            F.col("event_type") == "click",
-            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"),
-        ).otherwise(0).alias("cv"),
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("cf"),
+        F.when(has_v, F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias("cv"),
+        F.when(click, 1).otherwise(0).alias("cf"),
     ]
 
 

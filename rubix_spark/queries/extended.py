@@ -156,13 +156,22 @@ def x8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_IN = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+
+
 @register(
     "x8_unpivot",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
-    FROM events GROUP BY 1, 2
+    FROM events WHERE event_type IN ({_UNPIVOT_IN}) GROUP BY 1, 2
     """,
-    doc="Unpivot (wide → long via DataFrame.unpivot/stack): inverse of x8_pivot, zero cells dropped.",
+    doc=(
+        "Unpivot (wide → long via DataFrame.unpivot/stack): inverse of x8_pivot, "
+        "zero cells dropped. The oracle filters to the pivot's EXPLICIT channel "
+        "list (r12 session 2): the op's contract is the inverse of the 5-column "
+        "pivot, so event types outside the list (or NULL) are out of scope — the "
+        "old unfiltered oracle silently over-counted them on adversarial data."
+    ),
 )
 def x8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = x8_pivot(spark, sf_dir)

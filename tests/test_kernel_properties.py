@@ -177,6 +177,12 @@ def test_hub_components_match_pairs_on_random_buckets(spark):
     assert hub == ref
 
 
+def _canon(rows):
+    """None-safe canonical ordering for result-set comparison (tuples with NULLs
+    are not sortable with bare <): NULLs order last within their column."""
+    return sorted(rows, key=lambda row: tuple((x is None, x if x is not None else 0) for x in row))
+
+
 @pytest.mark.parametrize("name", [
     "x9_repetition", "x1_substring_dedup", "x3_fingerprint",
     "x3_quality", "x3_token_count", "x3_langid",
@@ -200,9 +206,72 @@ def test_text_ops_match_oracle_on_adversarial_text(spark, adversarial_docs_dir, 
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{adversarial_docs_dir}/documents.parquet'"
     )
-    o = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    o = _canon(tuple(r) for r in con.execute(q.oracle).fetchall())
     con.close()
-    s = sorted(tuple(r) for r in q.builder(spark, adversarial_docs_dir).collect())
+    s = _canon(tuple(r) for r in q.builder(spark, adversarial_docs_dir).collect())
     assert s == o, f"{name}: spark={len(s)} rows, oracle={len(o)} rows; first diff: " + str(
         next((a, b) for a, b in zip(s, o) if a != b) if len(s) == len(o) else "row count"
+    )
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(tmp_path_factory):
+    """events within the FIXTURES.md contract but at its edges: NULL user_id /
+    value / ts / event_type, duplicate (user, ts) pairs, one hot user, epoch and
+    far-future timestamps, unknown/empty/unicode event types, JSON props with
+    missing keys. (NaN values are exercised by the median-kernel model test —
+    the money-sum ops' contract is plain doubles.)"""
+    import datetime
+
+    rng = random.Random(53)
+    types = ["click", "view", "purchase", "signup", "error", "unknown", "", "tÿpe", None]
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(4000):
+        uid = rng.choice([None, 1, 2, 3, 4, 7, 7, 7, 7, 11])  # 7 is hot
+        ts = rng.choice([
+            None,
+            datetime.datetime(1970, 1, 1, 0, 0, 1),
+            datetime.datetime(2100, 1, 1),
+            base + datetime.timedelta(seconds=rng.randint(0, 3600)),
+            base + datetime.timedelta(seconds=rng.randint(0, 60)),  # dup-prone
+        ])
+        val = rng.choice([None, 0.0, -1.5, rng.uniform(-1e6, 1e6)])
+        k = rng.choice(['{"k": %d}' % rng.randint(-5, 5), '{"other": 1}', '{}', None])
+        rows.append((i, ts, uid, rng.choice(types), val, k))
+    d = tmp_path_factory.mktemp("advevents")
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", [
+    "q20_time_bucket", "q22_json_extract", "x4_udf_scalar",
+    "x4_udf_grouped_median", "x4_udf_grouped_median_grouped",
+    "x4_udf_grouped_median_pandas", "x4_udf_grouped_map",
+    "x7_asof_join", "x7_asof_join_pandas", "x7_range_join",
+    "x8_pivot", "x8_unpivot", "x10_rollup_cascade",
+])
+def test_events_ops_match_oracle_on_adversarial_events(spark, adversarial_events_dir, name):
+    """Cross-engine parity on edge-case events: NULL keys/timestamps/values,
+    duplicate (user, ts), hot keys, unknown event types."""
+    import duckdb
+
+    q = REG[name]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{adversarial_events_dir}/events.parquet'"
+    )
+    o = _canon(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    s = _canon(tuple(r) for r in q.builder(spark, adversarial_events_dir).collect())
+    assert s == o, f"{name}: spark={len(s)} rows, oracle={len(o)} rows; first diff: " + str(
+        next(((a, b) for a, b in zip(s, o) if a != b), None) if len(s) == len(o) else "row count"
     )
