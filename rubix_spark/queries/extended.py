@@ -504,9 +504,9 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTILE(4) OVER w AS quartile,
            CAST(FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5) / 10000.0 AS DOUBLE) AS pct_rank,
            ROW_NUMBER() OVER w AS rn,
-           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS dr
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST) AS dr
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
     doc=(
         "Ranking-function family: ntile / percent_rank / row_number / dense_rank over "
@@ -964,7 +964,7 @@ def _q30_decline_tail(y: DataFrame, key: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     d AS (
-        SELECT brand, yr, tot, LAG(tot) OVER (PARTITION BY brand ORDER BY yr) AS prev
+        SELECT brand, yr, tot, LAG(tot) OVER (PARTITION BY brand ORDER BY yr NULLS FIRST) AS prev
         FROM y
     )
     SELECT brand, yr,

@@ -574,9 +574,9 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_window_frame",
     f"""
     SELECT o_orderkey, o_custkey,
-           {duck_round('''AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           {duck_round('''AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS mavg,
-           {duck_round("LAG(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")} AS prev
+           {duck_round("LAG(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)")} AS prev
     FROM orders
     """,
     doc="Moving average over a 3-row frame + lag; frame sums are ≤3 doubles in deterministic order, so engines agree.",
