@@ -36,13 +36,14 @@ from rubix_spark.streaming.events import _run_available_now, _stream_partitions,
 
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
-# state: open-session (start_us, last_us, n_events, value_sum_e4)
+# state: open-session (start_us, last_us, n_events, value_sum_e4, n_valued)
 _STATE_SCHEMA = StructType(
     [
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
         StructField("n", IntegerType()),
         StructField("v_e4", LongType()),
+        StructField("nn", IntegerType()),
     ]
 )
 
@@ -58,28 +59,42 @@ def _sessionize(
 ) -> Iterator[pd.DataFrame]:
     user_id = key[0]
     if state.exists:
-        start_us, last_us, n, v_e4 = state.get
-        open_sess = [start_us, last_us, n, v_e4]
+        start_us, last_us, n, v_e4, nn = state.get
+        open_sess = [start_us, last_us, n, v_e4, nn]
     else:
         open_sess = None
 
     closed: list[list[int]] = []
     for pdf in batches:
+        # event-time contract (r12 s2, adversarial-events probe): rows without an
+        # event time cannot be sessionized — drop them exactly as every built-in
+        # event-time operator does (the oracle states WHERE ts IS NOT NULL). The
+        # old astype('int64') turned NaT into garbage microseconds.
+        pdf = pdf[pdf["ts"].notna()]
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
         # exact integer ten-thousandths, the fns.money_sum_fast row form (round-8:
-        # floor(v*1e4+0.5), matching the oracle's per-row FLOOR quantization)
-        v_e4s = [math.floor(v * 10000 + 0.5) for v in pdf["value"].tolist()]
+        # floor(v*1e4+0.5), matching the oracle's per-row FLOOR quantization).
+        # NULL values arrive as NaN — math.floor(NaN) raised; SQL SUM skips them,
+        # so they contribute nothing and nn tracks whether ANY value arrived
+        # (all-NULL session -> total_v NULL, like the oracle's SUM).
+        vals = pdf["value"].tolist()
+        v_e4s = [None if v is None or v != v else math.floor(v * 10000 + 0.5) for v in vals]
         for t, v in zip(ts_us, v_e4s):
+            dv = 0 if v is None else v
+            dn = 0 if v is None else 1
             if open_sess is None:
-                open_sess = [t, t, 1, v]
+                open_sess = [t, t, 1, dv, dn]
             elif t - open_sess[1] >= GAP_US:
                 closed.append(open_sess)
-                open_sess = [t, t, 1, v]
+                open_sess = [t, t, 1, dv, dn]
             else:
                 open_sess[1] = t
                 open_sess[2] += 1
-                open_sess[3] += v
+                open_sess[3] += dv
+                open_sess[4] += dn
     # input exhausted for this batch: persist the open session for the next batch;
     # under availableNow each key sees its whole history, so emit the tail too
     if open_sess is not None:
@@ -93,9 +108,11 @@ def _sessionize(
                 "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
                 "n_events": [s[2] for s in closed],
                 # integer hundredths finalize: s//100 + (s%100>=50) == (s+50)//100,
-                # the same half-up fns.money_from_units computes engine-side
+                # the same half-up fns.money_from_units computes engine-side; an
+                # all-NULL-value session carries SQL SUM's NULL (nn == 0)
                 "total_v": [
-                    float(int(s[3] // 100 + (1 if s[3] % 100 >= 50 else 0)) / 100.0)
+                    None if s[4] == 0
+                    else float(int(s[3] // 100 + (1 if s[3] % 100 >= 50 else 0)) / 100.0)
                     for s in closed
                 ],
             }
@@ -125,7 +142,7 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                             >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     s AS (
         SELECT user_id, ts, value,
@@ -140,7 +157,12 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
     doc=(
         "Custom stateful sessionizer (applyInPandasWithState, explicit GroupState, exact "
         "integer value accumulation) reproducing the 30-min-gap semantics — the custom-"
-        "state escape hatch, oracle-verified against the SQL sessionizer."
+        "state escape hatch, oracle-verified against the SQL sessionizer. Event-time "
+        "contract (r12 s2): NULL-ts rows are dropped exactly as built-in event-time "
+        "operators drop them (the oracle states it), NULL values contribute nothing "
+        "to total_v (SQL SUM semantics; an all-NULL session reads NULL) — the old "
+        "kernel CRASHED a production stream on either (math.floor(NaN); NaT-to-int64 "
+        "garbage), found by the adversarial-events probe."
     ),
 )
 def s4_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,3 +275,20 @@ def test_events_ops_match_oracle_on_adversarial_events(spark, adversarial_events
     assert s == o, f"{name}: spark={len(s)} rows, oracle={len(o)} rows; first diff: " + str(
         next(((a, b) for a, b in zip(s, o) if a != b), None) if len(s) == len(o) else "row count"
     )
+
+
+def test_stateful_sessionizer_on_adversarial_events(spark, adversarial_events_dir):
+    """s4 (applyInPandasWithState): NULL event times are dropped (event-time
+    contract) and NULL values carry SQL SUM semantics — the old kernel CRASHED
+    the stream on either (math.floor(NaN); NaT astype-int64 garbage)."""
+    import duckdb
+
+    q = REG["s4_stateful_session"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{adversarial_events_dir}/events.parquet'"
+    )
+    o = _canon(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    s = _canon(tuple(r) for r in q.builder(spark, adversarial_events_dir).collect())
+    assert s == o, f"spark={len(s)} oracle={len(o)}"
