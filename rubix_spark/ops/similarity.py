@@ -142,22 +142,45 @@ def _bruteforce_np_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_norm = float(_py_dot(row.embedding, row.embedding)) ** 0.5
     k = TOP_K
 
+    d = len(q)
+
     def score(batches):
         import numpy as np
         import pyarrow as pa
 
         ids = np.empty(0, dtype=np.int64)
         sims = np.empty(0, dtype=np.float64)
+        bad_ids = np.empty(0, dtype=np.int64)  # NULL-sim rows (fold semantics)
         for b in batches:
             col = b.column(1)
             n = len(col)
             if n == 0:
                 continue
+            # Rows the HOF fold maps to a NULL sim — NULL list, width != query's
+            # (zip_with pads with NULL), or a NULL element — are kept aside with
+            # sim NULL instead of raising (ADVICE r12): they sort after every
+            # real sim downstream exactly like the fold's NULLs, so a single bad
+            # row in a regenerated fixture degrades instead of crashing.
             offs = col.offsets.to_numpy(zero_copy_only=False)
             widths = np.diff(offs)
-            d = int(widths[0])
-            if not (widths == d).all():
-                raise ValueError("ragged embedding column")
+            ok = widths == d
+            if col.null_count:
+                ok &= ~col.is_null().to_numpy(zero_copy_only=False)
+            if col.values.null_count:
+                cs = np.concatenate(
+                    [[0], np.cumsum(col.values.is_null().to_numpy(zero_copy_only=False))]
+                )
+                ok &= (cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]) == 0
+            bids = b.column(0).to_numpy(zero_copy_only=False)
+            if not ok.all():
+                bad_ids = np.sort(np.concatenate([bad_ids, bids[~ok]]))[:k]
+                b = b.filter(pa.array(ok))
+                col = b.column(1).combine_chunks() if hasattr(b.column(1), "combine_chunks") else b.column(1)
+                n = len(col)
+                if n == 0:
+                    continue
+                offs = col.offsets.to_numpy(zero_copy_only=False)
+                bids = b.column(0).to_numpy(zero_copy_only=False)
             flat = col.values.to_numpy(zero_copy_only=False)
             m = flat[offs[0]:offs[-1]].astype(np.float64).reshape(n, d)
             dq = np.zeros(n)
@@ -167,7 +190,7 @@ def _bruteforce_np_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dq += c * q[j]
                 dv += c * c
             s = dq / (np.sqrt(dv) * q_norm)
-            ids = np.concatenate([ids, b.column(0).to_numpy(zero_copy_only=False)])
+            ids = np.concatenate([ids, bids])
             sims = np.concatenate([sims, s])
             if len(ids) > 8 * k:
                 key = -np.where(np.isnan(sims), np.inf, sims)  # NaN first, like desc
@@ -176,8 +199,14 @@ def _bruteforce_np_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(ids):
             key = -np.where(np.isnan(sims), np.inf, sims)
             sel = np.lexsort((ids, key))[:k]
-            yield pa.record_batch({"vec_id": pa.array(ids[sel], pa.int64()),
-                                   "_sim": pa.array(sims[sel], pa.float64())})
+            ids, sims = ids[sel], sims[sel]
+        if len(ids) or len(bad_ids):
+            out_ids = pa.array(np.concatenate([ids, bad_ids]), pa.int64())
+            out_sims = pa.concat_arrays([
+                pa.array(sims, pa.float64()),
+                pa.array([None] * len(bad_ids), pa.float64()),
+            ])
+            yield pa.record_batch({"vec_id": out_ids, "_sim": out_sims})
 
     part = emb.mapInArrow(score, "vec_id bigint, _sim double")
     return (

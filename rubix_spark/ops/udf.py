@@ -73,25 +73,35 @@ def _median_map(batches):
     mean of the two middle elements per segment. Per-group Python dispatch count:
     zero. Matches pd.Series.median: NULLs (NaN after to_numpy) skipped, all-NaN or
     all-NULL group -> NULL. A NULL group KEY (never present in the fixtures, but
-    GROUP BY semantics require it) rides an int64-min sentinel and is restored to
-    NULL on emit."""
+    GROUP BY semantics require it) is carried as an explicit boolean mask and
+    reduced as its own side group — no sentinel value, so a legitimate user_id
+    anywhere in the int64 domain (including int64-min, the old sentinel — ADVICE
+    r12) can never be confused with NULL."""
     import numpy as np
     import pyarrow as pa
 
-    sentinel = np.iinfo(np.int64).min
-    us, vs = [], []
+    us, vs, ns = [], [], []
     for b in batches:
         ucol, vcol = b.column(0), b.column(1)
         if ucol.null_count:
-            import pyarrow.compute as pc
-
-            ucol = pc.fill_null(ucol, sentinel)
+            nmask = ucol.is_null().to_numpy(zero_copy_only=False)
+            ucol = ucol.fill_null(0)
+        else:
+            nmask = np.zeros(len(ucol), dtype=bool)
         us.append(ucol.to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
         vs.append(vcol.to_numpy(zero_copy_only=False))
+        ns.append(nmask)
     if not us:
         return
     u = np.concatenate(us)
     v = np.concatenate(vs)
+    nm = np.concatenate(ns)
+    null_med = None
+    if nm.any():
+        nv = v[nm]
+        nv = nv[~np.isnan(nv)]
+        null_med = float(np.median(nv)) if nv.size else None
+        u, v = u[~nm], v[~nm]
     all_u = np.unique(u)  # keeps all-NULL-value groups in the output
     valid = ~np.isnan(v)
     uv, vv = u[valid], v[valid]
@@ -101,13 +111,12 @@ def _median_map(batches):
     med = (vv[starts + (counts - 1) // 2] + vv[starts + counts // 2]) / 2.0
     out = np.full(len(all_u), np.nan)
     out[np.searchsorted(all_u, grp_u)] = med
-    ua = pa.array(all_u, pa.int64())
-    if all_u.size and all_u[0] == sentinel:
-        ua = pa.array(np.where(all_u == sentinel, 0, all_u), pa.int64(),
-                      mask=(all_u == sentinel))
-    yield pa.record_batch(
-        {"user_id": ua, "med_raw": pa.array(out, pa.float64(), from_pandas=True)}
-    )
+    keys = pa.array(all_u, pa.int64())
+    meds = pa.array(out, pa.float64(), from_pandas=True)
+    if nm.any():
+        keys = pa.concat_arrays([keys, pa.array([None], pa.int64())])
+        meds = pa.concat_arrays([meds, pa.array([null_med], pa.float64())])
+    yield pa.record_batch({"user_id": keys, "med_raw": meds})
 
 
 @register(
@@ -135,6 +144,31 @@ def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n, "user_id")
         .mapInArrow(_median_map, schema="user_id bigint, med_raw double")
         .select("user_id", round_det(F.col("med_raw")).alias("med"))
+    )
+
+
+@register(
+    "x4_udf_grouped_median_jvm",
+    "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
+    doc=(
+        "JVM-native control twin (r12 verdict): the exact interpolated median as "
+        "Spark's built-in sort-based `median` aggregate — zero Python, one "
+        "exchange, ObjectHashAggregate. This is what a user gives up by insisting "
+        "on the UDF: the in-engine aggregate vs the mapInArrow kernel prices the "
+        "whole Python API ladder (jvm < mapInArrow < applyInArrow < pandas UDAF), "
+        "all four on the same DuckDB oracle. Semantics note: Spark's median and "
+        "DuckDB's quantile_cont both SKIP NULLs and return NULL for an all-NULL "
+        "group, matching the kernel; on NaN inputs (absent from every fixture and "
+        "the adversarial corpus by contract) the in-engine aggregates sort NaN "
+        "greatest while the kernel twins skip it — the kernels' model test pins "
+        "the skipna contract, this twin pins the engine-native one."
+    ),
+)
+def udf_grouped_median_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(round_det(F.median("value")).alias("med"))
     )
 
 

@@ -36,6 +36,16 @@ from rubix_spark.streaming.events import _run_available_now, _stream_partitions,
 
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
+# Version of the GroupState row layout below. applyInPandasWithState has NO
+# state-schema migration: a stream restarted from a checkpoint written under a
+# different layout misbinds or fails opaquely on state.get mid-stream (ADVICE
+# r12 — v1 was 4 fields; v2 added `nn`). Durable deployments must embed this in
+# their checkpointLocation (".../sessionizer/v{STATE_SCHEMA_VERSION}/...") so an
+# old-state restart fails LOUDLY at startup (fresh checkpoint, no prior offsets)
+# instead of corrupting sessions mid-stream. The repo's own runs use fresh
+# per-run checkpoints (availableNow), so only external deployments are exposed.
+STATE_SCHEMA_VERSION = 2
+
 # state: open-session (start_us, last_us, n_events, value_sum_e4, n_valued)
 _STATE_SCHEMA = StructType(
     [

@@ -145,3 +145,50 @@ def test_ivfpq_is_deterministic(spark, clustered_dir):
     spark._rubix_pq_memo = {}  # drop the memo so training itself re-runs
     b = [(r.vec_id, r.sim) for r in REG["x2_ann_ivfpq"].builder(spark, d).collect()]
     assert a == b and len(a) == 10
+
+
+def test_np_exact_branch_degrades_on_bad_rows_like_the_fold(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a NULL / ragged / NULL-element embedding row must not crash the
+    size-adaptive kernel branch — the HOF fold maps each to a NULL sim (zip_with
+    pads with NULL, NULL poisons the fold), which sorts out of the top-k. The
+    kernel must return the identical top-k on the same corrupted fixture, and
+    surface the bad rows (sim NULL, vec_id asc) when fewer than k rows are clean."""
+    rng = np.random.default_rng(11)
+    dim = 8
+    m = rng.normal(size=(30, dim))
+    rows = [r.astype(np.float32).tolist() for r in m]
+    rows[3] = None                      # NULL embedding
+    rows[5] = rows[5][:dim - 2]         # ragged short
+    rows[7] = rows[7] + [0.5, 0.5]      # ragged long
+    rows[9] = [None] + rows[9][1:]      # NULL element
+    d = tmp_path / "badrows"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(30), pa.int64()),
+            "embedding": pa.array(rows, pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    hof = [(r.vec_id, r.sim) for r in REG["x2_ann_bruteforce"].builder(spark, str(d)).collect()]
+    monkeypatch.setenv("RUBIX_X2_NP_MIN_ROWS", "0")
+    forced = [(r.vec_id, r.sim) for r in REG["x2_ann_bruteforce"].builder(spark, str(d)).collect()]
+    assert forced == hof
+    assert all(s is not None for _, s in forced)  # 26 clean rows > k=10
+
+    # degenerate corpus: fewer clean rows than k -> NULL-sim rows fill the tail
+    rows2 = [rows[0]] + [None] * 24 + rows[25:]  # query row itself stays clean
+    d2 = tmp_path / "mostlybad"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(30), pa.int64()),
+            "embedding": pa.array(rows2, pa.list_(pa.float32())),
+        }),
+        str(d2 / "embeddings.parquet"),
+    )
+    forced2 = [(r.vec_id, r.sim) for r in REG["x2_ann_bruteforce"].builder(spark, str(d2)).collect()]
+    monkeypatch.delenv("RUBIX_X2_NP_MIN_ROWS")
+    hof2 = [(r.vec_id, r.sim) for r in REG["x2_ann_bruteforce"].builder(spark, str(d2)).collect()]
+    assert forced2 == hof2 and len(forced2) == 10
+    assert sum(1 for _, s in forced2 if s is None) == 4  # 6 clean rows, 4 NULL fill
