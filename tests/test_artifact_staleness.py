@@ -96,3 +96,27 @@ def test_scale_artifacts_not_older_than_measured_source():
     # invariant 20, hardened (r7 verdict #1): PRIORITY-window source demands artifacts
     assert not window_stale, msg + f" — PRIORITY-window modules among them: {window_stale}"
     warnings.warn(msg)
+
+
+def test_plans_stamp_is_a_clean_commit():
+    """r12 verdict #5 (twice-recurring hygiene nit): a `+` (dirty-tree) stamp on
+    docs/PLANS.md cannot prove the plans match any commit — dump_plans must run
+    from a clean tree right AFTER the plan-bearing commit, never before it."""
+    path = os.path.join(REPO, "docs/PLANS.md")
+    if not os.path.exists(path):
+        warnings.warn("docs/PLANS.md missing")
+        return
+    import re
+
+    with open(path) as f:
+        head = f.read(4000)
+    m = re.search(r"Generated at source commit `([0-9a-f]+)(\+?)`", head)
+    assert m, "docs/PLANS.md lacks a source-commit stamp"
+    assert not m.group(2), (
+        "docs/PLANS.md carries a dirty-tree `+` stamp — regenerate it from a clean "
+        "tree (commit first, then `python tools/dump_plans.py`)"
+    )
+    try:
+        _git("cat-file", "-e", m.group(1) + "^{commit}")
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        warnings.warn("stamped commit not in history (shallow clone?)")
