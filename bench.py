@@ -295,6 +295,27 @@ def main() -> None:
         }
         shutil.rmtree(stress_dir, ignore_errors=True)
 
+    # Band-collision density for the minhash pair report (r12 verdict #6): the
+    # row's runtime scales with the CORPUS's collision density, not the code —
+    # the driver's mid-r12 fixture regeneration moved sf30 26.7 → 41-46 s with
+    # zero code change and cost a forensic half-session to adjudicate. Recording
+    # pairs-emitted / docs in the artifact lets the next generation shift be
+    # adjudicated by a number already in the file. Untimed (after the loop).
+    minhash_density = None
+    if "x1_minhash_lsh" in names:
+        try:
+            from rubix_spark.sources.stats import parquet_row_count
+
+            pairs = registry["x1_minhash_lsh"].builder(spark, sf_dir).count()
+            docs = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
+            minhash_density = {
+                "pairs": pairs,
+                "docs": docs,
+                "pairs_per_doc": round(pairs / max(docs, 1), 3),
+            }
+        except Exception as exc:  # diagnostic only — never fail the artifact run
+            minhash_density = {"error": str(exc)[:200]}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -314,6 +335,8 @@ def main() -> None:
             "requeried": requeried,
         },
     }
+    if minhash_density is not None:
+        out["minhash_density"] = minhash_density
     if scenarios:
         out["concurrent"] = {
             "query": "q4_star_join_sql",

@@ -174,6 +174,35 @@ class CacheManager:
         # one round trip for the copy job's open; the per-split GETs run in parallel
         # executor tasks, so wall-clock pays ~one more trip, not one per split
         self._remote_penalty(2 if self.spark is not None else 1)
+        try:
+            self._materialize(remote_path, local, size)
+        except BaseException:
+            # a failed warm (transient remote error, torn read under a concurrent
+            # rewrite) must not leak its partial dir: it is in no manifest entry, so
+            # eviction and validate() could never reclaim it — every failed warm
+            # would leak disk forever (found by the generated cache schedules, r13)
+            shutil.rmtree(local, ignore_errors=True)
+            raise
+        committed = self.manifest.put(
+            Entry(
+                remote_path=remote_path,
+                local_path=local,
+                size_bytes=size,
+                last_modified=mtime,
+                generation=gen,
+                state=CACHED,
+            )
+        )
+        if not committed:
+            # a newer generation won the race (A17): discard our copy
+            shutil.rmtree(local, ignore_errors=True)
+            return None
+        with self._lock:
+            self._counters["warmed_files"] += 1
+        self.evict_to_budget()
+        return local
+
+    def _materialize(self, remote_path: str, local: str, size: int) -> None:
         if self.spark is not None:
             # one output file per ~16 MiB of remote data. Two measured failure modes
             # bound this from both sides: 32 tiny part-files for a small table make the
@@ -201,24 +230,6 @@ class CacheManager:
                         shutil.copy2(os.path.join(root, fn), os.path.join(local, fn))
             else:
                 shutil.copy2(remote_path, os.path.join(local, os.path.basename(remote_path)))
-        committed = self.manifest.put(
-            Entry(
-                remote_path=remote_path,
-                local_path=local,
-                size_bytes=size,
-                last_modified=mtime,
-                generation=gen,
-                state=CACHED,
-            )
-        )
-        if not committed:
-            # a newer generation won the race (A17): discard our copy
-            shutil.rmtree(local, ignore_errors=True)
-            return None
-        with self._lock:
-            self._counters["warmed_files"] += 1
-        self.evict_to_budget()
-        return local
 
     # ------------------------------------------------------------------ row-group granularity
     # The reference caches 1 MiB blocks with a per-block bitmap (FileMetadata.java:96-97)
@@ -289,21 +300,27 @@ class CacheManager:
         # the other's live data
         local = self._local_dir(key, gen)
         os.makedirs(local, exist_ok=True)
-        fetch = set(want) - have
-        for i in sorted(have & set(want)):
-            try:
-                shutil.copy2(
-                    os.path.join(prev.local_path, f"rg_{i:05d}.parquet"),
-                    os.path.join(local, f"rg_{i:05d}.parquet"),
-                )
-            except (FileNotFoundError, NotADirectoryError):
-                # a concurrent evict/invalidate deleted prev's dir between the manifest
-                # read and the copy — the group is simply not-have; refetch from remote
-                fetch.add(i)
-        # collated fetch (A4): one backend read per contiguous run, sliced back into
-        # per-group local files (the serving granularity)
-        self._fetch_runs(remote_path, local, self.collate(sorted(fetch)))
-        size = sum(os.path.getsize(os.path.join(local, f)) for f in os.listdir(local))
+        try:
+            fetch = set(want) - have
+            for i in sorted(have & set(want)):
+                try:
+                    shutil.copy2(
+                        os.path.join(prev.local_path, f"rg_{i:05d}.parquet"),
+                        os.path.join(local, f"rg_{i:05d}.parquet"),
+                    )
+                except (FileNotFoundError, NotADirectoryError):
+                    # a concurrent evict/invalidate deleted prev's dir between the
+                    # manifest read and the copy — the group is simply not-have;
+                    # refetch from remote
+                    fetch.add(i)
+            # collated fetch (A4): one backend read per contiguous run, sliced back
+            # into per-group local files (the serving granularity)
+            self._fetch_runs(remote_path, local, self.collate(sorted(fetch)))
+            size = sum(os.path.getsize(os.path.join(local, f)) for f in os.listdir(local))
+        except BaseException:
+            # same no-partial-dir-leak contract as warm() (generated schedules, r13)
+            shutil.rmtree(local, ignore_errors=True)
+            raise
         committed = self.manifest.put(
             Entry(
                 remote_path=key,
@@ -482,6 +499,7 @@ class CacheManager:
         serving is an optimization, never a correctness dependency."""
         if self.peer_client is None:
             return None
+        local = None
         try:
             status = self.peer_client.get_cache_status(remote_path)
             if status.get("state") != CACHED:
@@ -507,7 +525,11 @@ class CacheManager:
             self.evict_to_budget()
             return local if self.manifest.get(remote_path) is not None else None
         except Exception:
-            return None  # degrade to remote
+            # degrade to remote — and never leak the partial transfer dir (a peer
+            # that evicted between status and fetch aborts mid-stream; r13 schedules)
+            if local is not None:
+                shutil.rmtree(local, ignore_errors=True)
+            return None
 
     def _fresh(self, entry: Entry, remote_path: str) -> bool:
         """A16 staleness: compare remote lastModified/size with the cached values.
@@ -577,9 +599,16 @@ class CacheManager:
                 lru = min(self.manifest.entries(), key=lambda e: e.last_access, default=None)
                 if lru is None:
                     break
-                self.manifest.remove(lru.remote_path)
-                self._defer_delete(lru.local_path)
-                self._df_memo.pop((lru.remote_path, lru.generation), None)
+                # defer the dir of the entry ACTUALLY removed, not the LRU snapshot's:
+                # a re-warm can commit a new generation between the snapshot and the
+                # remove, and deferring the snapshot's dir would leak the new
+                # generation's dir forever — unreachable by eviction AND validate()
+                # (TOCTOU found by the generated cache schedules, r13)
+                removed = self.manifest.remove(lru.remote_path)
+                if removed is None:
+                    continue  # raced an invalidate; re-read total_bytes
+                self._defer_delete(removed.local_path)
+                self._df_memo.pop((removed.remote_path, removed.generation), None)
                 evicted += 1
                 self._counters["evictions"] += 1
         return evicted
@@ -594,7 +623,11 @@ class CacheManager:
 
         Checks every manifest entry's local copy exists and is readable metadata-wise;
         broken entries are invalidated (repair=True) so the next read falls back to
-        remote and re-warms. Returns {checked, broken, repaired}.
+        remote and re-warms. Also sweeps AGED orphan dirs — fcache dirs owned by no
+        live entry, tombstone, or pending trash (a process killed mid-warm leaves one;
+        no in-process failure path can cover that) — but only past a conservative age
+        so a concurrent manager's in-flight warm (dir exists, commit pending) is never
+        touched. Returns {checked, broken, repaired, orphans_swept}.
         """
         checked = broken = repaired = 0
         for entry in self.manifest.entries():
@@ -607,7 +640,29 @@ class CacheManager:
                 if repair:
                     self.invalidate(entry.remote_path)
                     repaired += 1
-        return {"checked": checked, "broken": broken, "repaired": repaired}
+        orphans_swept = 0
+        if repair:
+            owned = {e.local_path for e in self.manifest.entries()}
+            with self._lock:
+                owned.update(p for _, p in self._trash)
+            with self.manifest._lock:
+                owned.update(self.manifest._tombstones)
+            min_age = max(self._evict_grace_s, Manifest.RECLAIM_GRACE) + 60.0
+            fcache = os.path.join(self.cache_dir, "fcache")
+            now = time.time()
+            for name in os.listdir(fcache):
+                path = os.path.join(fcache, name)
+                if path in owned:
+                    continue
+                try:
+                    if now - os.path.getmtime(path) < min_age:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
+                orphans_swept += 1
+        return {"checked": checked, "broken": broken, "repaired": repaired,
+                "orphans_swept": orphans_swept}
 
     # ------------------------------------------------------------------ metrics
     def stats(self) -> dict:

@@ -80,7 +80,7 @@ def test_validator_repairs_broken_entries(spark, remote_dir, tmp_path):
     entry = cm.manifest.get(path)
     shutil.rmtree(entry.local_path)
     report = cm.validate()
-    assert report == {"checked": 1, "broken": 1, "repaired": 1}
+    assert report == {"checked": 1, "broken": 1, "repaired": 1, "orphans_swept": 0}
     assert cm.manifest.get(path) is None
     # next read re-warms and returns the same data
     assert _rows(cm.read(path)) == expected

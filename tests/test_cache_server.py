@@ -46,7 +46,7 @@ print(json.dumps(out))
         assert c.get_cache_status(ORDERS)["state"] == "CACHED"
         entries = c.call("list_entries")
         assert entries["total_bytes"] > 0 and len(entries["entries"]) == 1
-        assert c.call("validate", repair=True) == {"checked": 1, "broken": 0, "repaired": 0}
+        assert c.call("validate", repair=True) == {"checked": 1, "broken": 0, "repaired": 0, "orphans_swept": 0}
         # unknown method → error response, connection stays usable
         try:
             c.call("no_such_method")
