@@ -207,6 +207,7 @@ def _run_available_now(
                               - g.i * 300000000) AS ws,
                event_type, value, ts
         FROM events, generate_series(0, 1) g(i)
+        WHERE ts IS NOT NULL
     )
     SELECT ws, event_type, COUNT(*) AS c,
            {duck_sum_fast("value", "v")}
@@ -215,7 +216,8 @@ def _run_available_now(
     """,
     doc=(
         "Streaming sliding-window agg (10m/5m, 15m watermark) run via availableNow → memory "
-        "sink; oracle expands each event into its two covering windows."
+        "sink; oracle expands each event into its two covering windows and drops NULL "
+        "event times (the event-time contract — window() drops them in batch AND stream)."
     ),
 )
 def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,9 +234,9 @@ def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                            >= INTERVAL 30 MINUTE
+                            > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     s AS (
         SELECT user_id, ts, value,
@@ -248,7 +250,11 @@ def s1_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Streaming sessionization (session_window, 30m gap) via availableNow → memory sink; "
-        "oracle is the classic gap-start cumulative-sum sessionizer."
+        "oracle is the classic gap-start cumulative-sum sessionizer. Contract edges "
+        "(r13 adversarial streams): session_window MERGES two events EXACTLY gap "
+        "apart (its window end is inclusive for merging), so a new session starts "
+        "strictly PAST the gap (> not >=); NULL event times are dropped exactly as "
+        "every event-time operator drops them (the oracle states both)."
     ),
 )
 def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +272,7 @@ def s2_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - g.i * 300000000) AS ws,
                event_type, value, ts
         FROM events, generate_series(0, 1) g(i)
+        WHERE ts IS NOT NULL
     )
     SELECT ws, event_type, COUNT(*) AS c,
            {duck_sum_fast("value", "v")}
@@ -353,11 +360,16 @@ def dedup_stream(events: DataFrame) -> DataFrame:
 
 @register(
     "s3_stream_dedup",
-    "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+    "SELECT CAST(COUNT(DISTINCT event_id)"
+    "     + (CASE WHEN COUNT(*) > COUNT(event_id) THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_unique FROM events",
     doc=(
         "Streaming exact dedup (dropDuplicates keyed on event_id, watermark-bounded "
         "state) — the streaming twin of X1 exact dedup; count of survivors equals the "
-        "batch COUNT(DISTINCT)."
+        "batch COUNT(DISTINCT). Contract edge (r13 adversarial streams): "
+        "dropDuplicates treats NULL keys as one group and keeps NULL-event-time rows "
+        "(dedup state is keyed, not windowed), while SQL COUNT(DISTINCT) ignores "
+        "NULLs — the oracle adds the NULL group back explicitly."
     ),
 )
 def s3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,7 @@ import math
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
@@ -97,7 +98,11 @@ def _sessionize(
             dn = 0 if v is None else 1
             if open_sess is None:
                 open_sess = [t, t, 1, dv, dn]
-            elif t - open_sess[1] >= GAP_US:
+            elif t - open_sess[1] > GAP_US:
+                # strictly PAST the gap: session_window merges two events exactly
+                # gap apart (its merge bound is inclusive), and this kernel's declared
+                # contract is S2-built-in parity — found by the r13 adversarial
+                # streams probing the exact-30:00.000000 boundary
                 closed.append(open_sess)
                 open_sess = [t, t, 1, dv, dn]
             else:
@@ -143,6 +148,36 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
     )
 
 
+def finalize_sessions(raw: DataFrame) -> DataFrame:
+    """Bounded-run finalize: last-write-wins per session key.
+
+    The kernel emits the OPEN tail session as a snapshot at the end of every
+    micro-batch (a bounded availableNow run has no later watermark to close it);
+    a session continued in a later batch therefore appears once per batch it
+    spanned — the r13 adversarial multi-batch streams caught the double-emit.
+    A session is uniquely keyed by (user_id, session_start): starts strictly
+    increase within a user and never move once set (in-watermark delivery), and
+    its snapshots only grow in n_events — so keeping the max-n_events row per key
+    is exactly "the final version", the same idempotence recipe as the s6 sink's
+    per-batch overwrite. Single-batch runs pass through unchanged (one row/key).
+    A CONTINUOUS deployment would instead arm an event-time timeout to emit each
+    tail exactly once when the watermark passes last_ts + gap; under availableNow
+    that timeout can never fire for the final sessions (the watermark cannot pass
+    the last event), which is why bounded mode finalizes this way.
+    """
+    s = F.max_by(F.struct("n_events", "total_v"), "n_events").alias("s")
+    return (
+        raw.groupBy("user_id", "session_start")
+        .agg(s)
+        .select(
+            "user_id",
+            "session_start",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_v").alias("total_v"),
+        )
+    )
+
+
 @register(
     "s4_stateful_session",
     f"""
@@ -150,7 +185,7 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                            >= INTERVAL 30 MINUTE
+                            > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events WHERE ts IS NOT NULL
     ),
@@ -176,7 +211,8 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
     ),
 )
 def s4_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_available_now(
+    raw = _run_available_now(
         spark, stateful_sessions(read_events_stream(spark, sf_dir)), mode="append",
         partitions=_stream_partitions(sf_dir),
     )
+    return finalize_sessions(raw)

