@@ -123,20 +123,47 @@ def _median_map(batches):
     "x4_udf_grouped_median",
     "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
     doc=(
-        "Per-user median as ONE vectorized mapInArrow pass over "
-        "repartition(user_id): the kernel reduces every group in the partition "
-        "with a single lexsort + segmented gather, so the Python cost is one "
-        "dispatch per PARTITION, not per group. The r12 applyInArrow form still "
-        "paid ~35 µs × 150k group dispatches at sf10 — measured (idle, min-of-N): "
-        "sf0.1 0.46 vs 0.75, sf1 0.64 vs 1.10, sf10 2.37 vs 4.59 s; at sf10 a "
-        "consume-only kernel ties the full kernel (2.365 vs 2.365), i.e. the "
-        "residual is entirely the exchange + Arrow in-transfer of the 10M-row "
-        "2-col frame — the compute is free. The grouped-dispatch forms live on as "
-        "x4_udf_grouped_median_grouped / _pandas (same oracle) pricing the "
-        "applyInArrow and UDAF API shapes."
+        "Per-user exact interpolated median — the ENGINE-NATIVE body (r12 verdict "
+        "#2): Spark's built-in sort-based `median` aggregate, zero Python, one "
+        "exchange, ObjectHashAggregate. This is the control the Python API ladder "
+        "is priced against, and it wins at every SF (idle min-of-N vs the "
+        "mapInArrow kernel: sf0.1 0.24 vs 0.44, sf1 0.30 vs 0.49, sf10 1.60 vs "
+        "2.44 s) — the lesson of the X4 surface: when the engine has the exact "
+        "aggregate, the best UDF is no UDF. The ladder lives on as "
+        "x4_udf_grouped_median_arrow (mapInArrow, one dispatch/partition) > "
+        "_grouped (applyInArrow, one dispatch/group) > _pandas (UDAF, pandas "
+        "hop), all on the same DuckDB oracle. Semantics note: Spark's median and "
+        "DuckDB's quantile_cont both SKIP NULLs and return NULL for an all-NULL "
+        "group, matching the kernels; on NaN inputs (absent from every fixture "
+        "and the adversarial corpus by contract) the in-engine aggregates sort "
+        "NaN greatest while the kernel twins skip it — the kernels' model test "
+        "pins the skipna contract, this body pins the engine-native one."
     ),
 )
 def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = catalog.table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(round_det(F.median("value")).alias("med"))
+    )
+
+
+@register(
+    "x4_udf_grouped_median_arrow",
+    "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
+    doc=(
+        "Per-user median as ONE vectorized mapInArrow pass over "
+        "repartition(user_id): the kernel reduces every group in the partition "
+        "with a single lexsort + segmented gather, so the Python cost is one "
+        "dispatch per PARTITION, not per group — the fastest PYTHON rung of the "
+        "X4 ladder (a consume-only kernel ties it at sf10, so the residual is "
+        "entirely the exchange + Arrow in-transfer; the compute is free). The "
+        "graded body is the JVM-native median (r13); this twin is the measured "
+        "price of insisting on a Python kernel: sf0.1 0.44 vs 0.24, sf1 0.49 vs "
+        "0.30, sf10 2.44 vs 1.60 s."
+    ),
+)
+def udf_grouped_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.table(spark, sf_dir, "events")
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
@@ -144,31 +171,6 @@ def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n, "user_id")
         .mapInArrow(_median_map, schema="user_id bigint, med_raw double")
         .select("user_id", round_det(F.col("med_raw")).alias("med"))
-    )
-
-
-@register(
-    "x4_udf_grouped_median_jvm",
-    "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
-    doc=(
-        "JVM-native control twin (r12 verdict): the exact interpolated median as "
-        "Spark's built-in sort-based `median` aggregate — zero Python, one "
-        "exchange, ObjectHashAggregate. This is what a user gives up by insisting "
-        "on the UDF: the in-engine aggregate vs the mapInArrow kernel prices the "
-        "whole Python API ladder (jvm < mapInArrow < applyInArrow < pandas UDAF), "
-        "all four on the same DuckDB oracle. Semantics note: Spark's median and "
-        "DuckDB's quantile_cont both SKIP NULLs and return NULL for an all-NULL "
-        "group, matching the kernel; on NaN inputs (absent from every fixture and "
-        "the adversarial corpus by contract) the in-engine aggregates sort NaN "
-        "greatest while the kernel twins skip it — the kernels' model test pins "
-        "the skipna contract, this twin pins the engine-native one."
-    ),
-)
-def udf_grouped_median_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = catalog.table(spark, sf_dir, "events")
-    return (
-        events.groupBy("user_id")
-        .agg(round_det(F.median("value")).alias("med"))
     )
 
 

@@ -256,7 +256,7 @@ def adversarial_events_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", [
     "q20_time_bucket", "q22_json_extract", "x4_udf_scalar",
-    "x4_udf_grouped_median", "x4_udf_grouped_median_jvm",
+    "x4_udf_grouped_median", "x4_udf_grouped_median_arrow",
     "x4_udf_grouped_median_grouped",
     "x4_udf_grouped_median_pandas", "x4_udf_grouped_map",
     "x7_asof_join", "x7_asof_join_pandas", "x7_range_join",

@@ -91,7 +91,7 @@ def main() -> None:
     reg = load_all()
 
     variants = {
-        "applyInArrow": lambda: reg["x4_udf_grouped_median"].builder(spark, args.sf),
+        "applyInArrow": lambda: reg["x4_udf_grouped_median_arrow"].builder(spark, args.sf),
         "mapInArrow": lambda: build_map(spark, args.sf),
     }
     # correctness first: sorted collect equality
