@@ -99,20 +99,33 @@ def main() -> None:
     # testdata it pays the one-time ingest here instead of inside a timed row.
     from rubix_spark.sources.bucketing import bucketed_table, events_user_layout
 
+    # SPARK_GRAFT_BENCH_LAYOUT_TABLES (comma list of lineitem,orders,customer,
+    # events,docs,ann; default all): which ingest layouts to prebuild. The sf100
+    # probe needs this — the lineitem-v4 layout shuffle spills ~41G to the SAME
+    # disk as the 21G fixture on this single-box FS (~94G usable), so the probe
+    # subset excludes lineitem-layout rows and skips that build. A query whose
+    # graded body needs a skipped layout would build it lazily inside its timed
+    # run (and likely exhaust disk) — the subset must avoid those rows.
+    _gate = os.environ.get("SPARK_GRAFT_BENCH_LAYOUT_TABLES")
+    _want = (lambda t: True) if not _gate else set(_gate.split(",")).__contains__
     for _name, _key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
                         ("orders", "o_custkey"), ("customer", "c_custkey")):
-        bucketed_table(spark, sf_dir, _name, _key)
-    registry["q20_time_bucket"].builder(spark, sf_dir)  # events-by-hour layout build
-    events_user_layout(spark, sf_dir)  # x7 user-bucketed (user_id, us)-sorted events
-    from rubix_spark.ops.pipeline import docs_ntok_layout
+        if _want(_name):
+            bucketed_table(spark, sf_dir, _name, _key)
+    if _want("events"):
+        registry["q20_time_bucket"].builder(spark, sf_dir)  # events-by-hour layout
+        events_user_layout(spark, sf_dir)  # x7 user-bucketed (user_id, us)-sorted
+    if _want("docs"):
+        from rubix_spark.ops.pipeline import docs_ntok_layout
 
-    docs_ntok_layout(spark, sf_dir)  # x9_pack token counts + global cumsum
+        docs_ntok_layout(spark, sf_dir)  # x9_pack token counts + global cumsum
     # ANN index builds (round 7): the graded x2 rows probe WRITTEN bucketed indexes
     # (sign-LSH buckets / IVF assignment) — ingest-time artifacts like the layouts above
-    from rubix_spark.ops.similarity import _ivf_index, _lsh_index
+    if _want("ann"):
+        from rubix_spark.ops.similarity import _ivf_index, _lsh_index
 
-    _lsh_index(spark, sf_dir)
-    _ivf_index(spark, sf_dir)
+        _lsh_index(spark, sf_dir)
+        _ivf_index(spark, sf_dir)
 
     scenarios = os.environ.get("SPARK_GRAFT_BENCH_SCENARIOS", "1") != "0"
 
