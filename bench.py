@@ -68,9 +68,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # untimed warmup: JVM JIT, parquet footer caches, Python worker pool (the UDF query
-    # forks the Arrow worker daemons once, so no timed query pays the spawn)
-    _consume(registry["q4_star_join"].builder(spark, sf_dir))
-    _consume(registry["x4_udf_scalar"].builder(spark, sf_dir))
+    # forks the Arrow worker daemons once, so no timed query pays the spawn). With a
+    # SUBSET selected, warm up with subset members only — q4's graded body builds the
+    # lineitem-v4 layout lazily, which a layout-gated sf100 probe must never trigger
+    # (its ~41G shuffle spill was the third full-disk crash of the r13 campaign).
+    if subset:
+        _consume(registry[names[0]].builder(spark, sf_dir))
+        udf_warm = next((n for n in names if "udf" in n), None)
+        _consume(registry[udf_warm or names[-1]].builder(spark, sf_dir))
+    else:
+        _consume(registry["q4_star_join"].builder(spark, sf_dir))
+        _consume(registry["x4_udf_scalar"].builder(spark, sf_dir))
 
     # ANALYZE TABLE pass (untimed setup — the nightly stats job a warehouse runs):
     # registers the fixtures as catalog tables, computes row + column stats, turns the
