@@ -28,7 +28,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # r9/r10 while the sf1/sf10 artifacts were guarded — a splice block (re-time of just
 # the touched rows) re-anchors them without a full sf30 regen.
 ARTIFACTS = ("BENCH_SF1.json", "BENCH_SF10.json", "DUCK_SF1.json", "DUCK_SF10.json",
-             "BENCH_SF30.json", "DUCK_SF30.json", "docs/PLANS.md")
+             "BENCH_SF30.json", "DUCK_SF30.json", "BENCH_SF60.json", "DUCK_SF60.json",
+             "docs/PLANS.md")
 # the source whose changes invalidate measured numbers: query builders + operators
 MEASURED_DIRS = ("rubix_spark/queries", "rubix_spark/ops", "rubix_spark/streaming")
 MEASURED_FILES = ("rubix_spark/fns.py", "rubix_spark/catalog.py",
