@@ -431,9 +431,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.table(spark, sf_dir, "embeddings")
     # norm materialized in its own projection — inlined into the transform lambda it
     # would be re-folded per element
+    # NULLIF per row: zero-norm vectors crash ANSI Spark where the oracle's
+    # x/0 -> NULL components make every pair sim NULL (never >= 0.4) —
+    # invariant 31e, r13
     n = emb.select(
         "vec_id", "label", "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.nullif(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), F.lit(0.0)).alias("nrm"),
     )
     # checkpoint the normalized vectors: the self-join otherwise re-runs the scan +
     # norm + transform pipeline once per side, and projection collapse would re-inline
@@ -845,9 +848,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm in its own projection, then checkpoint: ``e`` is consumed three times (both
     # join sides + the final kept-flag projection) and projection collapse would
     # otherwise re-inline the interpreted normalize per consumer (invariant 3)
+    # NULLIF on the norm (per ROW, outside the per-element lambda): a zero vector
+    # would crash ANSI Spark (DIVIDE_BY_ZERO) where the DuckDB oracle yields NULL
+    # components → NULL pair sims → never >= tau → the zero vector stays kept
+    # (invariant 31e; adversarial-embeddings corpus, round 13).
     n = assign.select(
         "vec_id", "cid", "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.nullif(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), F.lit(0.0)).alias("nrm"),
     )
     # NOTE on parallelism: pre-repartitioning this checkpoint by cid was measured 1.6×
     # faster at sf0.1 (spreads the single-file scan's 1-2 partitions) but 1.7× SLOWER

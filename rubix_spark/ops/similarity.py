@@ -51,7 +51,13 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # NULLIF on the norm product: a zero-norm vector makes the division 0/0,
+    # which DuckDB maps to NULL (division by zero → NULL, sorted last under
+    # DESC) but ANSI Spark turns into a query-killing DIVIDE_BY_ZERO
+    # (invariant 31e — found by the adversarial-embeddings corpus, round 13).
+    # NULL matches the oracle and sorts last in both engines; NaN *components*
+    # (a non-zero denominator) stay NaN and rank first in both.
+    return dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0))
 
 
 # Literal-vector variants, built as ONE SQL string each. The Column-DSL forms above
@@ -79,10 +85,12 @@ def dot_lit(col: str, vec: list[float]) -> Column:
 
 
 def cosine_lit(col: str, vec: list[float]) -> Column:
-    """cosine(col, <literal vector>) as a single parsed expression."""
+    """cosine(col, <literal vector>) as a single parsed expression (zero-norm →
+    NULL via NULLIF, same contract as ``cosine`` — invariant 31e)."""
     a = _arr_sql(vec)
     return F.expr(
-        f"{_dot_sql(col, a)} / (SQRT({_dot_sql(col, col)}) * SQRT({_dot_sql(a, a)}))"
+        f"{_dot_sql(col, a)} / "
+        f"NULLIF(SQRT({_dot_sql(col, col)}) * SQRT({_dot_sql(a, a)}), CAST(0 AS DOUBLE))"
     )
 
 
@@ -189,7 +197,17 @@ def _bruteforce_np_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = m[:, j]
                 dq += c * q[j]
                 dv += c * c
-            s = dq / (np.sqrt(dv) * q_norm)
+            # Zero-norm rows (denominator exactly 0) are NULL in the fold since
+            # the cosine() NULLIF guard (invariant 31e) — route them into the
+            # NULL pool; NaN from NaN *components* keeps a non-zero denominator
+            # and stays NaN (ranked first by both engines).
+            denom = np.sqrt(dv) * q_norm
+            zero = denom == 0.0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = dq / denom
+            if zero.any():
+                bad_ids = np.sort(np.concatenate([bad_ids, bids[zero]]))[:k]
+                bids, s = bids[~zero], s[~zero]
             ids = np.concatenate([ids, bids])
             sims = np.concatenate([sims, s])
             if len(ids) > 8 * k:
@@ -311,7 +329,13 @@ def _py_dot(a, b) -> float:
 def _py_cos(a, b) -> float:
     import math
 
-    return _py_dot(a, b) / (math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b)))
+    denom = math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b))
+    if denom == 0.0:
+        # zero-norm vector: the SQL cosine is NULL (NULLIF guard) and NULL sorts
+        # LAST under DESC in both engines — -inf ranks identically in the
+        # driver-side probe selection (ties still break on cid)
+        return float("-inf")
+    return _py_dot(a, b) / denom
 
 
 def _ivf_codebook(

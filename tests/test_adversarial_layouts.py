@@ -1,0 +1,157 @@
+"""Forced layout-branch oracle parity on the ADVERSARIAL corpora.
+
+Two prior programs compose here, each leaving the other's blind spot:
+
+- The adversarial corpora (test_adversarial_relational / test_kernel_properties)
+  run every oracle-bearing query on NULL-key / dangling-key / unicode / hot-key
+  data — but the corpora are tiny, so every size-adaptive body picks its SMALL
+  branch: the layout paths (bucketed warehouse, denorm sentinel natkeys,
+  dictionary ids, ingest-time cumsums, hub contraction) never see the edges.
+- The forced-branch suite (test_denorm_layout) pins each layout body against its
+  oracle — but only on the FRIENDLY generated fixture (no NULL group keys, no
+  dangling FKs, no empty docs).
+
+This module forces the layout branches (the same env knobs) onto the
+adversarial corpora, so the code path that actually runs at sf10+ is the one
+proven at the contract's edges. Fixtures are imported from the sibling modules
+(pytest resolves fixtures through the module namespace).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rubix_spark.queries import load_all
+
+from test_adversarial_relational import _REL, adversarial_wh_dir  # noqa: F401
+from test_kernel_properties import (  # noqa: F401
+    _canon,
+    adversarial_docs_dir,
+    adversarial_emb_dir,
+    adversarial_events_dir,
+)
+
+REG = load_all()
+
+
+@pytest.fixture(autouse=True)
+def _isolated_warehouse(tmp_path_factory, monkeypatch):
+    """Layout artifacts built from adversarial tmp dirs go to their own warehouse
+    root (never the shared /tmp/rubix_warehouse the bench uses)."""
+    monkeypatch.setenv(
+        "RUBIX_WAREHOUSE_DIR", str(tmp_path_factory.getbasetemp() / "adv_wh")
+    )
+
+
+def _duck_rows(oracle: str, view_dir: str, tables) -> list:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{view_dir}/{t}.parquet'")
+    try:
+        return _canon(tuple(r) for r in con.execute(oracle).fetchall())
+    finally:
+        con.close()
+
+
+def _assert_parity(spark, name: str, sf_dir: str, tables) -> None:
+    q = REG[name]
+    o = _duck_rows(q.oracle, sf_dir, tables)
+    s = _canon(tuple(r) for r in q.builder(spark, sf_dir).collect())
+    assert s == o, f"{name}: spark={len(s)} rows, oracle={len(o)} rows; first diff: " + str(
+        next(((a, b) for a, b in zip(s, o) if a != b), None) if len(s) == len(o) else "row count"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational layout branches (bucketed warehouse + denorm + dictionary ids)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name,env", [
+    ("q3_agg_having", {"RUBIX_Q3_LAYOUT_MIN_ROWS": "0"}),
+    ("q28_tpch_q1", {"RUBIX_Q3_LAYOUT_MIN_ROWS": "0"}),
+    ("q4_star_join", {"RUBIX_Q4_LAYOUT_MIN_ROWS": "0"}),
+    ("q30_yoy_delta", {"RUBIX_Q30_LAYOUT_MIN_ROWS": "0"}),
+    # dictionary-probe variant of the q30 tail (brand rides as an int id)
+    ("q30_yoy_delta", {"RUBIX_Q30_LAYOUT_MIN_ROWS": "0",
+                       "RUBIX_Q30_DICT_MIN_PART_ROWS": "0"}),
+    ("q31_grouping_sets", {"RUBIX_Q31_LAYOUT_MIN_ROWS": "0"}),
+])
+def test_relational_layout_branch_on_adversarial_warehouse(
+    spark, adversarial_wh_dir, monkeypatch, name, env
+):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    _assert_parity(spark, name, adversarial_wh_dir, _REL)
+
+
+def test_q5_decomposition_branch_on_adversarial_warehouse(
+    spark, adversarial_wh_dir, monkeypatch
+):
+    """q5's aggregate-decomposition branch (the only one that survives sf10) is
+    chosen by |S|x|C| footer row counts; force it by inflating the row-count
+    reader it consults. NULL names / NULL nationkeys must count exactly as the
+    oracle's theta join does."""
+    import rubix_spark.sources.stats as stats
+
+    real = stats.parquet_row_count
+    monkeypatch.setattr(stats, "parquet_row_count", lambda p: max(real(p), 10**6))
+    _assert_parity(spark, "q5_theta_join", adversarial_wh_dir, _REL)
+
+
+# ---------------------------------------------------------------------------
+# Events layout branch (user-bucketed (user_id, us)-sorted written layout)
+# ---------------------------------------------------------------------------
+def test_x7_range_join_layout_on_adversarial_events(
+    spark, adversarial_events_dir, monkeypatch
+):
+    monkeypatch.setenv("RUBIX_X7_LAYOUT_MIN_ROWS", "0")
+    _assert_parity(spark, "x7_range_join", adversarial_events_dir, ("events",))
+
+
+# ---------------------------------------------------------------------------
+# Documents layout branches (ntok/cumsum layout; hub-contraction clustering)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name,env", [
+    ("x9_pack", {"RUBIX_X9PACK_LAYOUT_MIN_ROWS": "0"}),
+    ("x1_dedup_components", {"RUBIX_CC_HUB_MIN_ROWS": "0"}),
+])
+def test_docs_layout_branch_on_adversarial_docs(
+    spark, adversarial_docs_dir, monkeypatch, name, env
+):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    _assert_parity(spark, name, adversarial_docs_dir, ("documents",))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: every oracle-bearing similarity/dedup op on planted degenerate
+# vectors (zero-norm, exact duplicate, colinear). Found in round 13: ANSI Spark
+# CRASHED the cosine on zero-norm vectors (DIVIDE_BY_ZERO) while the DuckDB
+# oracle yields NULL — the NULLIF guard in ops/similarity.cosine is pinned here.
+# ---------------------------------------------------------------------------
+def test_ann_bruteforce_kernel_on_adversarial_embeddings(
+    spark, adversarial_emb_dir, monkeypatch
+):
+    """The numpy kernel branch vs the SQL HOF oracle on zero-norm / duplicate /
+    colinear vectors (test_ann pins NULL/ragged degradation; this pins the
+    well-formed-but-degenerate rows cross-engine)."""
+    monkeypatch.setenv("RUBIX_X2_NP_MIN_ROWS", "0")
+    _assert_parity(spark, "x2_ann_bruteforce", adversarial_emb_dir, ("embeddings",))
+
+
+@pytest.mark.parametrize("name", [
+    "x2_ann_bruteforce",        # HOF fold branch (no env: fixture < 100k rows)
+    "x2_ann_ivf",
+    "x2_ann_lsh",
+    "x2_ann_lsh_multiprobe",
+    "x2_knn_join",
+    "x2_knn_join_ivf",
+    "x2_embedding_project",
+    "x1_embedding_neardup",
+    "x1_semantic_dedup",
+])
+def test_embedding_ops_match_oracle_on_adversarial_embeddings(
+    spark, adversarial_emb_dir, name
+):
+    _assert_parity(spark, name, adversarial_emb_dir, ("embeddings",))

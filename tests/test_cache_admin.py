@@ -53,7 +53,7 @@ def test_validate_repairs_and_evict_respects_budget(remote, tmp_path):
     entries = main(["list", "--cache-dir", cache])["entries"]
     shutil.rmtree(entries[0]["local_path"])
     out = main(["validate", "--cache-dir", cache])
-    assert out == {"checked": 2, "broken": 1, "repaired": 1}
+    assert out == {"checked": 2, "broken": 1, "repaired": 1, "orphans_swept": 0}
 
     out = main(["evict", "--cache-dir", cache, "--budget", "1"])
     assert out["evicted"] == 1 and out["total_bytes"] == 0

@@ -108,8 +108,15 @@ def test_median_map_kernel_matches_pandas_model(spark):
 
 @pytest.fixture(scope="module")
 def adversarial_emb_dir(tmp_path_factory):
+    # dim must be the engine contract's DIM: the JL projection matrix and the
+    # LSH hyperplanes are fixed 64-wide literals, and Spark's zip_with pads a
+    # ragged zip with NULL (dot -> NULL) while DuckDB's list_aggregate skips
+    # NULLs (partial sum) — a narrower fixture diverges by construction, not by
+    # defect (the fixed-width contract is TESTDATA.md's).
+    from rubix_spark.ops.similarity import DIM
+
     rng = np.random.default_rng(31)
-    n, dim = 600, 16
+    n, dim = 600, DIM
     m = rng.normal(size=(n, dim)).astype(np.float32)
     m[50] = m[40]          # exact duplicate pair
     m[60] = 2.0 * m[40]    # colinear (cos == 1 after normalize)
