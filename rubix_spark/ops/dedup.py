@@ -1135,6 +1135,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs_schema = catalog.table(spark, sf_dir, "documents").schema
     reader = spark.readStream.schema(docs_schema).format("parquet")
+    # test hook (adversarial streaming, r13): cap files per micro-batch so a
+    # directory fixture actually exercises MULTI-batch state — the default
+    # (unset) lets availableNow drain everything in one batch, which hides any
+    # cross-batch aggregation error by construction
+    mfpt = os.environ.get("RUBIX_S7_MAX_FILES_PER_TRIGGER")
+    if mfpt:
+        reader = reader.option("maxFilesPerTrigger", int(mfpt))
     path = f"{sf_dir.rstrip('/')}/documents.parquet"
     if os.path.isdir(path):  # generated fixtures: a directory of part-files
         raw = reader.load(path)

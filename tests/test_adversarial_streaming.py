@@ -425,3 +425,80 @@ def test_s4_session_spans_micro_batches(spark, tmp_path):
         ("1", "2024-01-01 02:00:00", "1", "4.0"),
         ("2", "2024-01-01 00:06:00", "1", None),
     ]
+
+
+# ------------------------------------------------------- s7 incremental dedup
+def test_s7_incremental_dedup_multibatch_matches_oracle(spark, tmp_path, monkeypatch):
+    """s7 (foreachBatch vs the persisted corpus band index) under FORCED
+    multi-batch delivery (maxFilesPerTrigger=1) on an adversarial corpus: exact
+    copies of corpus docs spread across micro-batches, empty/punct-only/unicode
+    docs, and a new doc duplicated inside one batch. The driver gate and the
+    fixture corpora drain the whole stream in ONE batch (all doc_ids < the
+    INCR_SPLIT, so the row was passing VACUOUSLY — zero 'new' docs); this pins
+    the per-batch aggregation contract (a doc's bands never split across
+    batches, so per-batch min(dup_of) IS the global min) with real matches."""
+    import random
+
+    from rubix_spark.ops.dedup import INCR_SPLIT
+
+    monkeypatch.setenv("RUBIX_WAREHOUSE_DIR", str(tmp_path / "wh"))
+    monkeypatch.setenv("RUBIX_S7_MAX_FILES_PER_TRIGGER", "1")
+
+    rng = random.Random(79)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "far", "ünïcode", "42", "x"]
+
+    def text(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    corpus = {i: text(rng.randint(25, 60)) for i in range(40)}
+    corpus[40] = ""                 # empty corpus doc
+    corpus[41] = "...!!!___"        # punct-only
+    new = {
+        INCR_SPLIT + 0: corpus[3],            # exact copy -> guaranteed band hit
+        INCR_SPLIT + 1: corpus[7],
+        INCR_SPLIT + 2: corpus[7],            # two new docs duping the SAME corpus doc
+        INCR_SPLIT + 3: text(40),             # genuinely new
+        INCR_SPLIT + 4: "",                   # empty new doc
+        INCR_SPLIT + 5: corpus[12],           # lands in a later batch
+        INCR_SPLIT + 6: corpus[3] + " extra", # near-copy (bands may or may not hit)
+        INCR_SPLIT + 7: "İstanbul ßß " + corpus[5],
+    }
+    docs = {**corpus, **new}
+
+    d = tmp_path / "sf" / "documents.parquet"
+    os.makedirs(d)
+    parts = [list(corpus) + [INCR_SPLIT + 0, INCR_SPLIT + 4],
+             [INCR_SPLIT + 1, INCR_SPLIT + 3],
+             [INCR_SPLIT + 2, INCR_SPLIT + 5, INCR_SPLIT + 6, INCR_SPLIT + 7]]
+    for fi, ids in enumerate(parts):
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([docs[i] for i in ids], pa.string()),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["synth"] * len(ids)),
+            "n_chars": pa.array([len(docs[i]) for i in ids], pa.int32()),
+        })
+        p = str(d / f"part-{fi:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + fi * 10,) * 2)
+    sf_dir = str(tmp_path / "sf")
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+        )
+        oracle = _canon(con.execute(REG["s7_stream_incremental_dedup"].oracle).fetchall())
+    finally:
+        con.close()
+    assert len(oracle) >= 4  # the planted exact copies actually matched
+
+    got = _rows(REG["s7_stream_incremental_dedup"].builder(spark, sf_dir))
+    assert got == oracle
+
+    # batch twins on the same corpus: the stream, the persisted-index batch path
+    # and the self-contained batch path all share one contract
+    for twin in ("x1_incremental_neardup", "x1_incremental_neardup_persisted"):
+        assert _rows(REG[twin].builder(spark, sf_dir)) == oracle, twin
