@@ -214,3 +214,70 @@ def test_priority_window_matches_oracle_on_routed_adversarial_fixture(
     routed_spark, adversarial_full_dir, name
 ):
     _assert_parity(routed_spark, name, adversarial_full_dir, _ALL_TABLES)
+
+
+# ---------------------------------------------------------------------------
+# DIRECTORY-layout fixtures: every scale bench reads tables as directories of
+# part-files (tools/gen_sf.py output, invariant 14), but oracle parity had only
+# ever run on single-file fixtures — the isdir branches in footer stats, row
+# counts, size-branch deciders and layout ingests were timed at sf1+ without a
+# correctness check. Same adversarial rows, split into 3 parts per table.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def adversarial_dirlayout_dir(tmp_path_factory, adversarial_full_dir):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("advdirs")
+    for t in _ALL_TABLES:
+        tbl = pq.read_table(f"{adversarial_full_dir}/{t}.parquet")
+        sub = d / f"{t}.parquet"
+        sub.mkdir()
+        n = max(1, tbl.num_rows // 3)
+        for fi, off in enumerate(range(0, tbl.num_rows, n)):
+            pq.write_table(tbl.slice(off, n), str(sub / f"part-{fi:03d}.parquet"))
+    return str(d)
+
+
+def _duck_rows_dirs(oracle: str, view_dir: str, tables) -> list:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{view_dir}/{t}.parquet/*.parquet'"
+        )
+    try:
+        return _canon(tuple(r) for r in con.execute(oracle).fetchall())
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", _routed_names())
+def test_priority_window_matches_oracle_on_directory_fixture(
+    spark, adversarial_dirlayout_dir, name
+):
+    q = REG[name]
+    o = _duck_rows_dirs(q.oracle, adversarial_dirlayout_dir, _ALL_TABLES)
+    s = _canon(tuple(r) for r in q.builder(spark, adversarial_dirlayout_dir).collect())
+    assert s == o, f"{name}: spark={len(s)} rows, oracle={len(o)} rows"
+
+
+@pytest.mark.parametrize("name,env", [
+    # the branch deciders and layout ingests all read footers through the isdir path
+    ("q3_agg_having", {"RUBIX_Q3_LAYOUT_MIN_ROWS": "0"}),
+    ("q4_star_join", {"RUBIX_Q4_LAYOUT_MIN_ROWS": "0"}),
+    ("q30_yoy_delta", {"RUBIX_Q30_LAYOUT_MIN_ROWS": "0"}),
+    ("q31_grouping_sets", {"RUBIX_Q31_LAYOUT_MIN_ROWS": "0"}),
+    ("x7_range_join", {"RUBIX_X7_LAYOUT_MIN_ROWS": "0"}),
+    ("x9_pack", {"RUBIX_X9PACK_LAYOUT_MIN_ROWS": "0"}),
+    ("x2_ann_bruteforce", {"RUBIX_X2_NP_MIN_ROWS": "0"}),
+])
+def test_layout_branch_matches_oracle_on_directory_fixture(
+    spark, adversarial_dirlayout_dir, monkeypatch, name, env
+):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    q = REG[name]
+    o = _duck_rows_dirs(q.oracle, adversarial_dirlayout_dir, _ALL_TABLES)
+    s = _canon(tuple(r) for r in q.builder(spark, adversarial_dirlayout_dir).collect())
+    assert s == o, f"{name}: spark={len(s)} rows, oracle={len(o)} rows"
