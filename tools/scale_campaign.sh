@@ -50,6 +50,12 @@ for rung in $RUNGS; do
     python -u bench.py || exit 1
   cp BENCH_DETAIL.json BENCH_$UP.json
   log "DUCK $rung"
+  # duck_bench --out is RESUMABLE: with the previous generation's artifact in
+  # place it sees every query already answered and exits in one second without
+  # touching the file (a stale artifact that LOOKS fresh). Fresh-generation
+  # campaigns must start clean; set RUBIX_DUCK_RESUME=1 only to continue a
+  # timeout-interrupted duck pass of THIS generation.
+  [ "${RUBIX_DUCK_RESUME:-0}" = "1" ] || rm -f DUCK_$UP.json
   python -u tools/duck_bench.py --sf-dir $TD/$rung --queries $Q \
     --isolate --timeout 900 --out DUCK_$UP.json || exit 1
 done
