@@ -411,13 +411,23 @@ def _ivf_assign(emb: DataFrame, cents: dict) -> DataFrame:
     """
     import math
 
+    # Zero-norm centroids are skipped rather than normalized (x/0 would raise
+    # driver-side): the oracle's cos(v, zero-centroid) is NULL (invariant 35),
+    # and a NULL score never wins ROW_NUMBER(ORDER BY cos DESC) — dropping the
+    # struct reproduces exactly that. All-zero codebook (or a zero query
+    # vector): every score is NULL/0 on both engines and the tie rule picks the
+    # smallest cid. Fixture codebooks have no zero centroids, so the generated
+    # expressions — and every measured plan — are unchanged.
     scored = [
         F.struct(
             dot_lit("embedding", [x / math.sqrt(_py_dot(ce, ce)) for x in ce]).alias("cs"),
             F.lit(-cid).alias("mcid"),
         )
         for cid, ce in cents.items()
+        if _py_dot(ce, ce) > 0.0
     ]
+    if not scored:
+        return emb.select("vec_id", "embedding", F.lit(min(cents)).alias("cid"))
     return emb.select("vec_id", "embedding", (-F.greatest(*scored).getField("mcid")).alias("cid"))
 
 

@@ -157,6 +157,31 @@ def test_embedding_ops_match_oracle_on_adversarial_embeddings(
     _assert_parity(spark, name, adversarial_emb_dir, ("embeddings",))
 
 
+def test_zero_norm_centroid_matches_oracle(spark, tmp_path_factory):
+    """A zero vector INSIDE the codebook (first N_CENTROIDS rows): the oracle's
+    cos(v, zero-centroid) is NULL and never wins the assignment ROW_NUMBER;
+    _ivf_assign must skip it rather than divide by zero driver-side
+    (invariant 35's centroid case)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rubix_spark.ops.similarity import DIM
+
+    rng = np.random.default_rng(47)
+    m = rng.normal(size=(300, DIM)).astype(np.float32)
+    m[2] = 0.0        # zero CENTROID (N_CENTROIDS = 16 > 2)
+    m[100] = 0.0      # zero member too
+    d = tmp_path_factory.mktemp("zerocent")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        "label": pa.array([0] * len(m), pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    for name in ("x2_ann_ivf", "x1_semantic_dedup", "x2_knn_join_ivf"):
+        _assert_parity(spark, name, str(d), ("embeddings",))
+
+
 # ---------------------------------------------------------------------------
 # The ANALYZE/CBO-routed serving path on adversarial data. bench.py serves
 # every scale query through catalog.analyze(route=True) — ANALYZE column stats,
