@@ -45,24 +45,20 @@ def javac_available() -> bool:
     return shutil.which("javac") is not None
 
 
-def build_shim_jar(cache_root: str = "/tmp/rubix_spark_jvm") -> str:
-    """Compile the FileSystem shim and package it as a jar; memoized by source hash."""
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.md5(src).hexdigest()[:12]
+def build_jar(src: str, jar_name: str, classpath: str = "",
+              cache_root: str = "/tmp/rubix_spark_jvm") -> str:
+    """Compile one Java source and package it as a jar; memoized by source hash."""
+    with open(src, "rb") as f:
+        body = f.read()
+    tag = hashlib.md5(body).hexdigest()[:12]
     out_dir = os.path.join(cache_root, tag)
-    jar_path = os.path.join(out_dir, "rubix-locality.jar")
+    jar_path = os.path.join(out_dir, jar_name)
     if os.path.exists(jar_path):
         return jar_path
     classes = os.path.join(out_dir, "classes")
     os.makedirs(classes, exist_ok=True)
-    cp = ":".join(_hadoop_jars())
-    subprocess.run(
-        ["javac", "-cp", cp, "-d", classes, _SRC],
-        check=True,
-        capture_output=True,
-        text=True,
-    )
+    cmd = ["javac"] + (["-cp", classpath] if classpath else []) + ["-d", classes, src]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
     tmp_jar = jar_path + ".tmp"
     with zipfile.ZipFile(tmp_jar, "w") as z:
         for root, _, files in os.walk(classes):
@@ -71,6 +67,11 @@ def build_shim_jar(cache_root: str = "/tmp/rubix_spark_jvm") -> str:
                 z.write(full, os.path.relpath(full, classes))
     os.replace(tmp_jar, jar_path)
     return jar_path
+
+
+def build_shim_jar(cache_root: str = "/tmp/rubix_spark_jvm") -> str:
+    """Compile the FileSystem shim and package it as a jar; memoized by source hash."""
+    return build_jar(_SRC, "rubix-locality.jar", ":".join(_hadoop_jars()), cache_root)
 
 
 def shim_confs(nodes: list[str], split_bytes: int | None = None, jar: str | None = None) -> dict:

@@ -2,9 +2,7 @@
 
 The reference exposes its BookKeeper counters through pluggable reporters
 (``rubix-bookkeeper/.../BookKeeperMetrics.java``: JMX, StatsD, Ganglia selected by
-``rubix.metrics.reporters``). Spark-side the natural sinks differ — a driver process
-has no JMX story worth shimming from Python — so this module keeps the same shape with
-the two reporters that make sense here:
+``rubix.metrics.reporters``). This module keeps the same shape with all four sinks:
 
 - ``StatsDReporter``  — the reference's StatsD wire format verbatim
   (``StatsDReporter`` in BookKeeperMetrics: ``<prefix>.<name>:<value>|g`` over UDP).
@@ -13,13 +11,19 @@ the two reporters that make sense here:
   BookKeeperMetrics:73-101): gmetric XDR packets (metadata msg 128 + string-value
   msg 133, gmond protocol v3.1) over UDP unicast/multicast. No dependencies — the
   two-packet wire format is ~40 lines of XDR.
+- ``JMXReporter``     — the reference's JMX sink (``JmxReporter`` selection in
+  BookKeeperMetrics:73-103). A Python driver has no MBean server of its own, but
+  the Spark driver JVM does: the reporter compiles a tiny ``DynamicMBean``
+  (``jvm/RubixCacheMetrics.java``, same on-demand javac path as the locality
+  shim), loads it through a py4j ``URLClassLoader``, registers it in the driver's
+  platform MBean server, and refreshes its gauges each interval. Any JMX client
+  attached to the driver (jconsole, a JMX→Prometheus exporter) reads the cache
+  counters under ``rubix_spark.cache:type=CacheMetrics``. Requires a live
+  SparkSession; the cache daemon's ``metrics`` RPC (``cache/server.py``) remains
+  the sessionless pull path.
 - ``LogReporter``     — periodic human-readable line to a logger (the
   CachingFileSystem ``ReadRequestChainStats`` log analog), for clusters with
   log-based metrics scraping.
-
-(The reference's remaining sink is JMX; a Python driver has no JVM MBean server to
-shim, and the pull-based in-process introspection JMX provides is served by the cache
-daemon's ``metrics`` RPC method instead — ``cache/server.py``.)
 
 Reporters pull from ``CacheManager.stats()`` (hits/misses/evictions/invalidations/
 warmed_files/fallbacks/hit_rate/cached_bytes/cached_files) on a fixed interval in a
@@ -29,9 +33,12 @@ daemon thread, mirroring the reference's ScheduledReporter cadence.
 from __future__ import annotations
 
 import logging
+import os
 import socket
 import threading
 from typing import Callable
+
+_JMX_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm", "RubixCacheMetrics.java")
 
 
 class _PeriodicReporter:
@@ -153,6 +160,49 @@ class GangliaReporter(_PeriodicReporter):
     def stop(self) -> None:
         super().stop()
         self._sock.close()
+
+
+class JMXReporter(_PeriodicReporter):
+    """Publish the counters as MBean attributes in the Spark driver JVM's platform
+    MBean server (the reference's JMX sink). The bean is a ``DynamicMBean`` over a
+    concurrent map (``jvm/RubixCacheMetrics.java``) so the attribute set tracks
+    whatever ``stats()`` returns; it is loaded via a py4j ``URLClassLoader`` (no
+    launch-time classpath change needed) and unregistered on ``stop()``."""
+
+    def __init__(
+        self,
+        stats_fn: Callable[[], dict],
+        spark,
+        object_name: str = "rubix_spark.cache:type=CacheMetrics",
+        interval: float = 10.0,
+    ):
+        super().__init__(stats_fn, interval)
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        gateway = sc._gateway
+        from rubix_spark.cache.locality import build_jar
+
+        jar = build_jar(_JMX_SRC, "rubix-metrics.jar")
+        url = jvm.java.io.File(jar).toURI().toURL()
+        urls = gateway.new_array(jvm.java.net.URL, 1)
+        urls[0] = url
+        loader = jvm.java.net.URLClassLoader(urls)
+        self._bean = loader.loadClass("rubixspark.metrics.RubixCacheMetrics").newInstance()
+        self._oname = object_name
+        self._bean.unregister(object_name)  # fresh reporter replaces a stale bean
+        self._bean.register(object_name)
+
+    def emit(self, stats: dict) -> None:
+        for name, value in stats.items():
+            if isinstance(value, (int, float)):
+                self._bean.put(name, float(value))
+
+    def stop(self) -> None:
+        super().stop()
+        try:
+            self._bean.unregister(self._oname)
+        except Exception:  # gateway already down — never fail teardown
+            pass
 
 
 class LogReporter(_PeriodicReporter):

@@ -91,6 +91,33 @@ def test_periodic_reporting_thread():
     recv.close()
 
 
+def test_jmx_reporter_registers_and_serves_gauges(spark):
+    """The reference's fourth sink (JMX): the reporter registers a DynamicMBean in
+    the driver JVM's platform MBean server and refreshes it from stats(); a JMX
+    client (here: the MBean server API itself, what jconsole calls) reads the
+    gauges back under the declared ObjectName. stop() unregisters."""
+    from rubix_spark.cache.metrics import JMXReporter
+
+    oname = "t.cache:type=CacheMetrics"
+    rep = JMXReporter(_stats, spark, object_name=oname)
+    bean = rep._bean  # helper surface into the platform MBean server (JDK-17 note there)
+    try:
+        rep.report_once()
+        assert bean.registered(oname)
+        assert bean.attribute(oname, "hits") == 3.0
+        assert bean.attribute(oname, "hit_rate") == 0.75
+        # attribute inventory tracks stats() keys; the non-numeric one is skipped
+        assert sorted(bean.attributeNames(oname)) == [
+            "cached_bytes", "hit_rate", "hits", "misses"]
+        # gauges refresh in place on the next report
+        rep._stats_fn = lambda: {"hits": 7}
+        rep.report_once()
+        assert bean.attribute(oname, "hits") == 7.0
+    finally:
+        rep.stop()
+    assert not bean.registered(oname)
+
+
 def test_log_reporter_line(caplog):
     rep = LogReporter(_stats, logger=logging.getLogger("t.metrics"))
     with caplog.at_level(logging.INFO, logger="t.metrics"):
