@@ -23,7 +23,7 @@ from pyspark.sql.types import DoubleType
 from rubix_spark import catalog
 from rubix_spark.fns import round_det
 from rubix_spark.ops import _tok
-from rubix_spark.queries import register
+from rubix_spark.queries import REGISTRY, register
 
 
 # return types passed as DataType objects (not DDL strings) so the UDFs can be defined
@@ -124,23 +124,58 @@ def _median_map(batches):
     "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
     doc=(
         "Per-user exact interpolated median — the ENGINE-NATIVE body (r12 verdict "
-        "#2): Spark's built-in sort-based `median` aggregate, zero Python, one "
-        "exchange, ObjectHashAggregate. This is the control the Python API ladder "
-        "is priced against, and it wins at every SF (idle min-of-N vs the "
-        "mapInArrow kernel: sf0.1 0.24 vs 0.44, sf1 0.30 vs 0.49, sf10 1.60 vs "
-        "2.44 s) — the lesson of the X4 surface: when the engine has the exact "
-        "aggregate, the best UDF is no UDF. The ladder lives on as "
-        "x4_udf_grouped_median_arrow (mapInArrow, one dispatch/partition) > "
-        "_grouped (applyInArrow, one dispatch/group) > _pandas (UDAF, pandas "
-        "hop), all on the same DuckDB oracle. Semantics note: Spark's median and "
-        "DuckDB's quantile_cont both SKIP NULLs and return NULL for an all-NULL "
-        "group, matching the kernels; on NaN inputs (absent from every fixture "
-        "and the adversarial corpus by contract) the in-engine aggregates sort "
-        "NaN greatest while the kernel twins skip it — the kernels' model test "
-        "pins the skipna contract, this body pins the engine-native one."
+        "#2): Spark's built-in sort-based `median` aggregate, zero Python. This is "
+        "the control the Python API ladder is priced against, and it wins at every "
+        "SF (idle min-of-N vs the mapInArrow kernel: sf0.1 0.24 vs 0.44, sf1 0.30 "
+        "vs 0.49, sf10 1.60 vs 2.44 s) — the lesson of the X4 surface: when the "
+        "engine has the exact aggregate, the best UDF is no UDF. Since r13 the "
+        "aggregate reads the WRITTEN user-bucketed events layout (the x7 move "
+        "applied to aggregation: the ObjectHashAggregate consumes the bucket "
+        "partitioning, ZERO Exchange and no partial/final split — plan-pinned in "
+        "tests/test_shuffle_ops.py), past RUBIX_X4_LAYOUT_MIN_ROWS=50k; below, "
+        "the raw-scan ablation x4_udf_grouped_median_shuffle holds the sf0.01 "
+        "driver slot. Idle min-of-N layout vs shuffle, no inversion at any SF "
+        "(r13 session 4): sf0.1 0.092 vs 0.198, sf1 0.268 vs 0.460, sf10 "
+        "0.67-0.83 vs 1.82 s — the per-run user_id exchange plus the raw scan's "
+        "partial/final split was most of the row's cost. The ladder "
+        "lives on as x4_udf_grouped_median_arrow (mapInArrow, one "
+        "dispatch/partition) > _grouped (applyInArrow, one dispatch/group) > "
+        "_pandas (UDAF, pandas hop), all on the same DuckDB oracle. Semantics "
+        "note: Spark's median and DuckDB's quantile_cont both SKIP NULLs and "
+        "return NULL for an all-NULL group, matching the kernels; on NaN inputs "
+        "(absent from every fixture and the adversarial corpus by contract) the "
+        "in-engine aggregates sort NaN greatest while the kernel twins skip it — "
+        "the kernels' model test pins the skipna contract, this body pins the "
+        "engine-native one."
     ),
 )
 def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from rubix_spark.sources.bucketing import events_user_layout
+    from rubix_spark.sources.stats import parquet_row_count
+
+    min_rows = int(os.environ.get("RUBIX_X4_LAYOUT_MIN_ROWS", 50_000))
+    if parquet_row_count(f"{sf_dir.rstrip('/')}/events.parquet") < min_rows:
+        return REGISTRY["x4_udf_grouped_median_shuffle"].builder(spark, sf_dir)
+    ev = events_user_layout(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(round_det(F.median("value")).alias("med"))
+    )
+
+
+@register(
+    "x4_udf_grouped_median_shuffle",
+    "SELECT user_id, FLOOR(median(value) * 100 + 0.5) / 100.0 AS med FROM events GROUP BY user_id",
+    doc=(
+        "Layout-less ablation of x4_udf_grouped_median (the graded body until "
+        "r13): the same engine-native median over the raw events scan — one "
+        "user_id exchange per run. Holds the sf0.01 driver-correctness slot via "
+        "the graded row's size branch."
+    ),
+)
+def udf_grouped_median_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id")

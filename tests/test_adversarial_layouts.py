@@ -294,6 +294,7 @@ def test_priority_window_matches_oracle_on_directory_fixture(
     ("q30_yoy_delta", {"RUBIX_Q30_LAYOUT_MIN_ROWS": "0"}),
     ("q31_grouping_sets", {"RUBIX_Q31_LAYOUT_MIN_ROWS": "0"}),
     ("x7_range_join", {"RUBIX_X7_LAYOUT_MIN_ROWS": "0"}),
+    ("x4_udf_grouped_median", {"RUBIX_X4_LAYOUT_MIN_ROWS": "0"}),
     ("x9_pack", {"RUBIX_X9PACK_LAYOUT_MIN_ROWS": "0"}),
     ("x2_ann_bruteforce", {"RUBIX_X2_NP_MIN_ROWS": "0"}),
 ])

@@ -114,6 +114,7 @@ def test_lineitem_dictionary_ids_match(spark):
     ("q4_star_join", "RUBIX_Q4_LAYOUT_MIN_ROWS"),
     ("q30_yoy_delta", "RUBIX_Q30_LAYOUT_MIN_ROWS"),
     ("x7_range_join", "RUBIX_X7_LAYOUT_MIN_ROWS"),
+    ("x4_udf_grouped_median", "RUBIX_X4_LAYOUT_MIN_ROWS"),
     ("x9_pack", "RUBIX_X9PACK_LAYOUT_MIN_ROWS"),
     ("x1_dedup_components", "RUBIX_CC_HUB_MIN_ROWS"),
     ("q31_grouping_sets", "RUBIX_Q31_LAYOUT_MIN_ROWS"),

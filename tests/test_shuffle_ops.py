@@ -120,6 +120,16 @@ def test_x7_range_join_layout_is_exchange_and_sort_free(spark, monkeypatch):
                 if l.strip().startswith(("+- Sort ", ":- Sort ", "Sort "))], plan
 
 
+def test_x4_median_layout_is_exchange_free(spark, monkeypatch):
+    """Round-13: the graded engine-native median rides the same user-bucketed
+    events layout as x7 — the ObjectHashAggregate consumes the bucket
+    partitioning (aggregation accepts subset partitioning), so the per-run
+    user_id exchange of the whole stream disappears: zero Exchange anywhere."""
+    monkeypatch.setenv("RUBIX_X4_LAYOUT_MIN_ROWS", "0")  # force the big-SF layout branch
+    plan = _pinned_smj_plan(spark, "x4_udf_grouped_median")
+    assert "Exchange" not in plan, plan
+
+
 def test_x9_pack_layout_is_one_exchange_no_python(spark, monkeypatch):
     """Round-11 (r10 verdict #3): the graded x9_pack reads the written docs_ntok
     layout (token counts + global cumsum materialized at ingest) — the per-query
