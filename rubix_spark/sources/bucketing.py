@@ -170,37 +170,30 @@ def persisted_bucketed(
     if layout_version != 1:
         fp.append(["__layout_version__", layout_version])
 
-    meta = None
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                meta = json.load(fh)
-        except (OSError, ValueError):
-            meta = None
-    sorted_by = (
-        "SORTED BY (" + ", ".join(f"`{c}` ASC" for c in sort_cols) + ")"
-        if sort_cols else ""
-    )
+    def _read_meta():
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    return json.load(fh)
+            except (OSError, ValueError):
+                return None
+        return None
+
     # the sort spec is part of the layout contract, not just the marker (ADVICE
     # r10): legacy.bucketedTableScan.outputOrdering makes Spark TRUST the SORTED BY
     # DDL, so re-registering old files under a new sort spec would hand zero-Sort
     # SMJs/windows unsorted data — silently wrong results. A spec mismatch with an
     # unchanged source fingerprint must rebuild, not serve.
-    spec_ok = meta is not None and (
-        meta.get("sort_col") == sort_cols
-        and meta.get("bucket_col") == bucket_col
-        and meta.get("n_buckets") == n_buckets
-        and meta.get("schema_ddl")
-    )
-    if spec_ok and meta.get("fingerprint") == fp:
-        # layout current: register the existing files (cheap, per-session DDL only)
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files untouched
-        spark.sql(
-            f"CREATE TABLE {tbl} ({meta['schema_ddl']}) USING parquet "
-            f"CLUSTERED BY (`{bucket_col}`) {sorted_by} INTO {n_buckets} BUCKETS "
-            f"LOCATION '{data_dir}'"
+    def _current(meta):
+        return meta is not None and (
+            meta.get("sort_col") == sort_cols
+            and meta.get("bucket_col") == bucket_col
+            and meta.get("n_buckets") == n_buckets
+            and meta.get("schema_ddl")
+            and meta.get("fingerprint") == fp
         )
-    else:
+
+    def _rebuild():
         # (re)build: source changed or first run. Repartition by the bucket key first so
         # each bucket is exactly ONE file (otherwise every write task emits a file per
         # bucket it sees, and multi-file buckets lose the sorted-scan guarantee).
@@ -220,9 +213,47 @@ def persisted_bucketed(
             writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
         writer.format("parquet").saveAsTable(tbl)
         os.makedirs(data_dir, exist_ok=True)
-        with open(marker, "w") as fh:
+        # marker lands atomically (tmp + rename): a concurrent reader sees either the
+        # previous generation's marker, no marker, or this complete one — never a
+        # truncated JSON that _read_meta would treat as absent mid-serve
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             json.dump({"fingerprint": fp, "schema_ddl": schema_ddl, "n_buckets": n_buckets,
                        "bucket_col": bucket_col, "sort_col": sort_cols}, fh)
+        os.replace(tmp_marker, marker)
+
+    meta = _read_meta()
+    built = False
+    if not _current(meta):
+        # cross-process exclusive rebuild (the manifest's flock discipline applied to
+        # layout artifacts — adversarial warehouse schedules showed two sessions'
+        # interleaved rmtree + saveAsTable can commit part-files from BOTH writers
+        # into one directory under a valid-looking marker: silently duplicated rows).
+        # Re-check under the lock: the builder we waited on usually built exactly
+        # what we need, and the second build must not rmtree files the first
+        # builder's session is already registered over.
+        import fcntl
+
+        os.makedirs(os.path.dirname(data_dir), exist_ok=True)
+        with open(data_dir + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            meta = _read_meta()
+            if not _current(meta):
+                _rebuild()
+                built = True
+    if not built:
+        # layout current (or a concurrent builder just wrote it): register the
+        # existing files — cheap, per-session DDL only
+        sorted_by = (
+            "SORTED BY (" + ", ".join(f"`{c}` ASC" for c in sort_cols) + ")"
+            if sort_cols else ""
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files untouched
+        spark.sql(
+            f"CREATE TABLE {tbl} ({meta['schema_ddl']}) USING parquet "
+            f"CLUSTERED BY (`{bucket_col}`) {sorted_by} INTO {n_buckets} BUCKETS "
+            f"LOCATION '{data_dir}'"
+        )
     out = spark.table(tbl)
     memo[mkey] = out
     return out
