@@ -33,7 +33,12 @@ from pyspark.sql.types import (
 
 from rubix_spark.fns import duck_sum_fast
 from rubix_spark.queries import register
-from rubix_spark.streaming.events import _run_available_now, _stream_partitions, read_events_stream
+from rubix_spark.streaming.events import (
+    _run_available_now,
+    _shuffle_conf_lock,
+    _stream_partitions,
+    read_events_stream,
+)
 
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
@@ -63,34 +68,35 @@ _OUT_SCHEMA = (
 )
 
 
-def _sessionize(
-    key: Tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    user_id = key[0]
-    if state.exists:
-        start_us, last_us, n, v_e4, nn = state.get
-        open_sess = [start_us, last_us, n, v_e4, nn]
-    else:
-        open_sess = None
+def _merge_batches(
+    batches: Iterator[pd.DataFrame], open_sess: list[int] | None
+) -> Tuple[list[int] | None, list[list[int]]]:
+    """Fold this batch's events for one key into the open session; return the
+    (possibly new) open tail plus the sessions CLOSED by later data.
 
+    Shared by both sessionizer kernels (snapshot + event-time-timeout) so the
+    30-minute-gap semantics can never drift between them:
+    - event-time contract (r12 s2, adversarial-events probe): rows without an
+      event time cannot be sessionized — drop them exactly as every built-in
+      event-time operator does (the oracles state WHERE ts IS NOT NULL). The
+      old astype('int64') turned NaT into garbage microseconds.
+    - exact integer ten-thousandths, the fns.money_sum_fast row form (round-8:
+      floor(v*1e4+0.5), matching the oracle's per-row FLOOR quantization).
+      NULL values arrive as NaN — math.floor(NaN) raised; SQL SUM skips them,
+      so they contribute nothing and nn tracks whether ANY value arrived
+      (all-NULL session -> total_v NULL, like the oracle's SUM).
+    - a new session starts strictly PAST the gap: session_window merges two
+      events exactly gap apart (its merge bound is inclusive) and the declared
+      contract is S2-built-in parity — found by the r13 adversarial streams
+      probing the exact-30:00.000000 boundary.
+    """
     closed: list[list[int]] = []
     for pdf in batches:
-        # event-time contract (r12 s2, adversarial-events probe): rows without an
-        # event time cannot be sessionized — drop them exactly as every built-in
-        # event-time operator does (the oracle states WHERE ts IS NOT NULL). The
-        # old astype('int64') turned NaT into garbage microseconds.
         pdf = pdf[pdf["ts"].notna()]
         if not len(pdf):
             continue
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-        # exact integer ten-thousandths, the fns.money_sum_fast row form (round-8:
-        # floor(v*1e4+0.5), matching the oracle's per-row FLOOR quantization).
-        # NULL values arrive as NaN — math.floor(NaN) raised; SQL SUM skips them,
-        # so they contribute nothing and nn tracks whether ANY value arrived
-        # (all-NULL session -> total_v NULL, like the oracle's SUM).
         vals = pdf["value"].tolist()
         v_e4s = [None if v is None or v != v else math.floor(v * 10000 + 0.5) for v in vals]
         for t, v in zip(ts_us, v_e4s):
@@ -99,10 +105,6 @@ def _sessionize(
             if open_sess is None:
                 open_sess = [t, t, 1, dv, dn]
             elif t - open_sess[1] > GAP_US:
-                # strictly PAST the gap: session_window merges two events exactly
-                # gap apart (its merge bound is inclusive), and this kernel's declared
-                # contract is S2-built-in parity — found by the r13 adversarial
-                # streams probing the exact-30:00.000000 boundary
                 closed.append(open_sess)
                 open_sess = [t, t, 1, dv, dn]
             else:
@@ -110,28 +112,42 @@ def _sessionize(
                 open_sess[2] += 1
                 open_sess[3] += dv
                 open_sess[4] += dn
+    return open_sess, closed
+
+
+def _session_frame(user_id: Any, sessions: list[list[int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
+            "n_events": [s[2] for s in sessions],
+            # integer hundredths finalize: s//100 + (s%100>=50) == (s+50)//100,
+            # the same half-up fns.money_from_units computes engine-side; an
+            # all-NULL-value session carries SQL SUM's NULL (nn == 0)
+            "total_v": [
+                None if s[4] == 0
+                else float(int(s[3] // 100 + (1 if s[3] % 100 >= 50 else 0)) / 100.0)
+                for s in sessions
+            ],
+        }
+    )
+
+
+def _sessionize(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    open_sess = list(state.get) if state.exists else None
+    open_sess, closed = _merge_batches(batches, open_sess)
     # input exhausted for this batch: persist the open session for the next batch;
     # under availableNow each key sees its whole history, so emit the tail too
     if open_sess is not None:
         state.update(tuple(open_sess))
         closed.append(open_sess)
-
     if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
-                "n_events": [s[2] for s in closed],
-                # integer hundredths finalize: s//100 + (s%100>=50) == (s+50)//100,
-                # the same half-up fns.money_from_units computes engine-side; an
-                # all-NULL-value session carries SQL SUM's NULL (nn == 0)
-                "total_v": [
-                    None if s[4] == 0
-                    else float(int(s[3] // 100 + (1 if s[3] % 100 >= 50 else 0)) / 100.0)
-                    for s in closed
-                ],
-            }
-        )
+        yield _session_frame(user_id, closed)
 
 
 def stateful_sessions(events: DataFrame) -> DataFrame:
@@ -144,6 +160,66 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _sessionize_timeout(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Event-time-timeout sessionizer: the CONTINUOUS-deployment close semantics.
+
+    The snapshot kernel above emits the open tail every micro-batch and relies on a
+    bounded-run finalize (invariant 34); this kernel instead emits each session
+    EXACTLY ONCE, when it is provably over:
+      - closed by later data (a gap-exceeding event arrives for the key), or
+      - closed by the WATERMARK passing last_ts + gap (the armed event-time timeout
+        fires in a batch where the key has no data — including the no-data batch
+        Spark runs after availableNow drains the source, so bounded runs finalize
+        through the same code path a 24/7 stream uses).
+    A session whose quiet period the watermark never proves (last_ts + gap > final
+    watermark) stays in state and is NOT emitted — that is the honest continuous
+    contract, and the s8 oracle states it (session_end + gap <= max event time,
+    watermark delay 0).
+    """
+    user_id = key[0]
+    if state.hasTimedOut:
+        # the watermark passed this key's armed deadline: the open session is final
+        sess = list(state.get)
+        state.remove()
+        yield _session_frame(user_id, [sess])
+        return
+    open_sess = list(state.get) if state.exists else None
+    open_sess, closed = _merge_batches(batches, open_sess)
+    if open_sess is not None:
+        state.update(tuple(open_sess))
+        # arm the close deadline. The state API is millisecond-based while the
+        # session arithmetic is microseconds — ceil so the timeout can never fire
+        # BEFORE the µs deadline; and the timestamp must sit strictly past the
+        # current watermark (the API rejects already-passed deadlines, which can
+        # happen when late data under a nonzero delay reopens an old key).
+        deadline_ms = (open_sess[1] + GAP_US + 999) // 1000
+        state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+    if closed:
+        yield _session_frame(user_id, closed)
+
+
+def stateful_sessions_timeout(events: DataFrame, delay: str = "0 seconds") -> DataFrame:
+    """Continuous-close sessionization: EventTimeTimeout + watermark (delay 0 by
+    default so the closed-session set is a pure function of the input, not of the
+    micro-batch slicing)."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_timeout,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -216,3 +292,111 @@ def s4_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions=_stream_partitions(sf_dir),
     )
     return finalize_sessions(raw)
+
+
+def _run_append_until_quiescent(
+    spark: SparkSession,
+    result: DataFrame,
+    partitions: int | None = None,
+    max_wait_s: float = 120.0,
+) -> DataFrame:
+    """Drive an append-mode stateful stream until its event-time timeouts have fired.
+
+    ``availableNow`` stops the moment the source drains — it never runs the
+    trailing NO-DATA micro-batch, so EventTimeTimeout deadlines that only the
+    final watermark can prove (armed by the last data batch) never fire and the
+    closed-session tail silently goes missing (measured on this exact kernel; the
+    r13 s7 lesson about availableNow hiding multi-batch behavior, invariant 36).
+    A processingTime trigger DOES run one no-data batch once the watermark has
+    advanced past the last data batch (spark.sql.streaming.noDataMicroBatches,
+    default on), which fires every deadline <= final watermark in one pass — after
+    that the query is quiescent and can stop. Stop condition: at least one
+    executed zero-input batch after the source drained (idle triggers execute no
+    batch and report no progress, so "a trailing progress row with numInputRows
+    == 0" IS the no-data batch having run).
+    """
+    import time
+
+    batches: list[tuple[int, DataFrame]] = []
+
+    def capture(bdf: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, bdf.localCheckpoint(eager=True)))
+
+    with _shuffle_conf_lock:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        try:
+            q = (
+                result.writeStream.foreachBatch(capture)
+                .outputMode("append")
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+            deadline = time.time() + max_wait_s
+            while time.time() < deadline:
+                rp = q.recentProgress
+                if rp and rp[-1]["numInputRows"] == 0 and not q.status["isDataAvailable"]:
+                    break
+                time.sleep(0.1)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            if partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not batches:
+        return spark.createDataFrame([], result.schema)
+    out = None
+    for _, bdf in sorted(batches, key=lambda t: t[0]):
+        out = bdf if out is None else out.unionByName(bdf)
+    return out
+
+
+@register(
+    "s8_stream_timeout_sessions",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE ts IS NOT NULL
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, {duck_sum_fast("value", "total_v")}
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events, total_v FROM g
+    WHERE (epoch_us(session_end) + 1800000000 + 999) // 1000
+          < (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE ts IS NOT NULL)
+    """,
+    doc=(
+        "Continuous-close sessionizer: applyInPandasWithState with an EVENT-TIME "
+        "TIMEOUT (the production semantics the snapshot kernel's bounded-run "
+        "finalize stands in for — invariant 34). Each session emits exactly once: "
+        "closed by later data, or by the watermark passing last_ts + 30 min in the "
+        "no-data batch a processingTime trigger runs after the source drains "
+        "(availableNow never runs it — measured; _run_append_until_quiescent). "
+        "Sessions the final watermark cannot prove closed are withheld, and the "
+        "oracle states the MEASURED engine rule exactly: GroupState timeouts are "
+        "millisecond-granular and fire on deadline STRICTLY BELOW watermark, so "
+        "emitted = sessions with ceil_ms(end + 30min) < floor_ms(max event ts) "
+        "(delay 0; a deadline landing in the watermark's exact millisecond stays "
+        "open). The emitted set is a pure function of the input under watermark-"
+        "ordered delivery, independent of micro-batch slicing. Output-identical to "
+        "s4 minus each user's unprovable tail."
+    ),
+)
+def s8_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_append_until_quiescent(
+        spark, stateful_sessions_timeout(read_events_stream(spark, sf_dir)),
+        partitions=_stream_partitions(sf_dir),
+    )

@@ -427,6 +427,173 @@ def test_s4_session_spans_micro_batches(spark, tmp_path):
     ]
 
 
+# --------------------------------------------------- s8 event-time timeout close
+def test_s8_timeout_emits_exactly_watermark_proven_sessions(spark, tmp_path):
+    """The continuous-close kernel: emitted == oracle == s4's finalized set minus
+    the tails the final watermark cannot prove closed — and the trap must FIRE
+    (invariant 36): some sessions must close via TIMEOUT (not by later data) and
+    some must be withheld, or the run proves nothing."""
+    from rubix_spark.streaming.stateful import (
+        _run_append_until_quiescent,
+        stateful_sessions,
+        stateful_sessions_timeout,
+    )
+
+    rows = [
+        # user 1: two sessions; the first closes BY DATA, the second by timeout
+        (0, BASE, 1, "a", 1.0),
+        (1, BASE + 10 * M, 1, "a", 2.0),
+        (2, BASE + 50 * M, 1, "a", 3.0),        # ends 50M; deadline 80M < 120M max
+        # user 2: one session only a TIMEOUT can close (no later data for the key)
+        (3, BASE + 20 * M, 2, "b", None),       # all-NULL-value session via timeout
+        # user 3: the unprovable tail (ends at the global max)
+        (4, BASE + 120 * M, 3, "c", 6.0),
+        # user 4: ends close enough to the max that its deadline is NOT passed
+        (5, BASE + 100 * M, 4, "c", 7.0),       # deadline 130M > 120M: withheld
+    ]
+    d = _mk_stream(str(tmp_path / "s8"), rows, [[0, 1, 2, 3, 4, 5]])
+    got = _rows(_run_append_until_quiescent(
+        spark, stateful_sessions_timeout(_stream(spark, d)), partitions=4))
+    assert got == _oracle("s8_stream_timeout_sessions", d)
+    assert got == [
+        ("1", "2024-01-01 00:00:00", "2", "3.0"),
+        ("1", "2024-01-01 00:50:00", "1", "3.0"),
+        ("2", "2024-01-01 00:20:00", "1", None),
+    ]
+    # the withheld set is exactly the difference vs the bounded-run (s4) semantics
+    s4 = _rows(finalize_sessions(_run_available_now(
+        spark, stateful_sessions(_stream(spark, d)), "append", 4)))
+    withheld = [r for r in s4 if r not in got]
+    assert withheld == [
+        ("3", "2024-01-01 02:00:00", "1", "6.0"),
+        ("4", "2024-01-01 01:40:00", "1", "7.0"),
+    ]
+
+
+def test_s8_deadline_watermark_millisecond_boundary(spark, tmp_path):
+    """Pin the MEASURED GroupState fire rule: timeouts are millisecond-granular and
+    fire on deadline STRICTLY below the watermark — a session whose close deadline
+    lands in the watermark's exact millisecond stays open (the oracle's
+    ceil_ms(end + gap) < floor_ms(max ts) predicate states it)."""
+    from rubix_spark.streaming.stateful import (
+        _run_append_until_quiescent,
+        stateful_sessions_timeout,
+    )
+
+    MS = dt.timedelta(milliseconds=1)
+    rows = [
+        (0, BASE + 30 * M - MS, 1, "a", 1.0),   # deadline 60M-1ms < wm 60M: fires
+        (1, BASE + 30 * M, 2, "a", 2.0),        # deadline == wm exact ms: stays open
+        (2, BASE + 30 * M + MS, 3, "a", 3.0),   # deadline past wm: stays open
+        # sub-ms probe: 1µs under the gap boundary still CEILS into the wm
+        # millisecond, so it must stay open too (the µs->ms seam, armed with ceil)
+        (3, BASE + 30 * M - US, 4, "a", 4.0),
+        (4, BASE + 60 * M, 9, "z", 0.0),        # the watermark carrier (max ts)
+    ]
+    d = _mk_stream(str(tmp_path / "s8b"), rows, [[0, 1, 2, 3, 4]])
+    got = _rows(_run_append_until_quiescent(
+        spark, stateful_sessions_timeout(_stream(spark, d)), partitions=4))
+    assert got == _oracle("s8_stream_timeout_sessions", d)
+    assert got == [("1", "2024-01-01 00:29:59.999000", "1", "1.0")]
+
+
+def test_s8_session_spans_micro_batches_emits_once(spark, tmp_path):
+    """A session continued across micro-batches emits ONCE with full totals and no
+    finalize pass (unlike s4's per-batch snapshots); slicing does not change the
+    emitted set (wm-ordered delivery)."""
+    from rubix_spark.streaming.stateful import (
+        _run_append_until_quiescent,
+        stateful_sessions_timeout,
+    )
+
+    rows = [
+        (0, BASE, 1, "a", 1.0),
+        (1, BASE + 5 * M, 1, "a", 2.0),          # batch 2 continues the session
+        (2, BASE + 120 * M, 1, "a", 4.0),        # batch 2 opens a new session
+        (3, BASE + 6 * M, 2, "b", None),
+        (4, BASE + 240 * M, 9, "z", 0.0),        # batch 3: wm carrier closes all
+    ]
+    sliced = _mk_stream(str(tmp_path / "s8sp"), rows, [[0], [1, 2, 3], [4]])
+    got = _rows(_run_append_until_quiescent(
+        spark, stateful_sessions_timeout(_stream(spark, sliced)), partitions=4))
+    assert got == _oracle("s8_stream_timeout_sessions", sliced)
+    one_batch = _mk_stream(str(tmp_path / "s8one"), rows, [[0, 1, 2, 3, 4]])
+    assert got == _rows(_run_append_until_quiescent(
+        spark, stateful_sessions_timeout(_stream(spark, one_batch)), partitions=4))
+    assert got == [
+        ("1", "2024-01-01 00:00:00", "2", "3.0"),
+        ("1", "2024-01-01 02:00:00", "1", "4.0"),
+        ("2", "2024-01-01 00:06:00", "1", None),
+    ]
+
+
+def test_s8_restart_fires_newly_eligible_timeouts_once(spark, tmp_path):
+    """Checkpoint restart: sessions withheld in run 1 (deadline past run-1's final
+    watermark) emit in run 2 once appended data advances the watermark past them —
+    exactly once, via the restored state's re-armed timeout."""
+    import time as _time
+
+    from rubix_spark.streaming.stateful import stateful_sessions_timeout
+
+    d = str(tmp_path / "s8r")
+    ck = str(tmp_path / "ck")
+    sink: list = []
+
+    def run(per_trigger=1, wait_s=30.0):
+        def capture(bdf, bid):
+            sink.extend(bdf.collect())
+
+        q = (
+            stateful_sessions_timeout(_stream(spark, d, per_trigger))
+            .writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        t0 = _time.time()
+        while _time.time() - t0 < wait_s:
+            rp = q.recentProgress
+            if rp and rp[-1]["numInputRows"] == 0 and not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.1)
+        q.stop()
+        q.awaitTermination()
+
+    rows1 = [
+        (0, BASE, 1, "a", 1.0),
+        (1, BASE + 50 * M, 9, "z", 0.0),  # wm 50M: user 1 deadline 30M < 50M fires
+        (2, BASE + 45 * M, 2, "b", 2.0),  # deadline 75M > 50M: withheld in run 1
+    ]
+    _mk_stream(d, rows1, [[0, 1, 2]])
+    run()
+    got1 = _canon([tuple(r) for r in sink])
+    assert got1 == [("1", "2024-01-01 00:00:00", "1", "1.0")]
+
+    # append a later file (mtime past the existing ones); the restart restores
+    # state for user 2 and the advanced watermark must close it exactly once
+    tbl = pa.table({
+        "event_id": pa.array([3], pa.int64()),
+        "ts": pa.array([BASE + 240 * M], pa.timestamp("us")),
+        "user_id": pa.array([9], pa.int64()),
+        "event_type": pa.array(["z"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    })
+    p = os.path.join(d, "part-900.parquet")
+    pq.write_table(tbl, p)
+    os.utime(p, (1_700_000_900,) * 2)
+    sink.clear()
+    run()
+    got2 = _canon([tuple(r) for r in sink])
+    # run 2 emits ONLY the newly provable sessions: user 2's restored session and
+    # user 9's first session (50M, now gap-closed by its own 240M event)
+    assert got2 == [
+        ("2", "2024-01-01 00:45:00", "1", "2.0"),
+        ("9", "2024-01-01 00:50:00", "1", "0.0"),
+    ]
+
+
 # ------------------------------------------------------- s7 incremental dedup
 def test_s7_incremental_dedup_multibatch_matches_oracle(spark, tmp_path, monkeypatch):
     """s7 (foreachBatch vs the persisted corpus band index) under FORCED
