@@ -36,7 +36,19 @@ class ClusterMonitor:
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
         self.nodes: list[str] = executor_hosts(spark)
-        self._stats = {"refreshes": 0, "changes": 0, "last_remap_fraction": 0.0}
+        self._stats = {"refreshes": 0, "changes": 0, "empty_polls": 0,
+                       "last_remap_fraction": 0.0}
+        # hook-delivery ordering (r13 adversarial-membership schedules): the hook
+        # runs OUTSIDE the state lock (it may push session confs — slow, reentrant),
+        # so two concurrent refreshes could deliver out of order and a STALE node
+        # list would overwrite the newer push (the invariant-32 act-on-snapshot
+        # class, here poisoning rubix.cache.nodes until the next churn). Delivery
+        # is generation-stamped: a delivery that lost the race to a newer one is
+        # SKIPPED (the hook contract is level-triggered — consumers want the
+        # current membership, not every intermediate).
+        self._gen = 0
+        self._delivered_gen = 0
+        self._hook_lock = threading.Lock()
 
     # ------------------------------------------------------------------ refresh
     def refresh(self) -> bool:
@@ -47,10 +59,18 @@ class ClusterMonitor:
         """Adopt a node set (separated from polling so churn math is unit-testable)."""
         with self._lock:
             self._stats["refreshes"] += 1
+            if not new_nodes:
+                # transient empty membership (executor restart storm; dynamic
+                # allocation at zero): adopting it would make every locate_key
+                # caller raise until the next poll. Keep serving the last live
+                # ring — locality preferences over momentarily-dead hosts are
+                # hints the scheduler ignores, an empty ring is a crash.
+                self._stats["empty_polls"] += 1
+                return False
             old = self.nodes
             if new_nodes == old:
                 return False
-            if old and new_nodes:
+            if old:
                 remapped = sum(
                     1 for k in self._sample if locate_key(k, old) != locate_key(k, new_nodes)
                 )
@@ -59,10 +79,23 @@ class ClusterMonitor:
                 self._stats["last_remap_fraction"] = 1.0
             self._stats["changes"] += 1
             self.nodes = new_nodes
+            self._gen += 1
+            gen = self._gen
             hook = self._on_change
         if hook is not None:
-            hook(old, new_nodes)
+            self._deliver(gen, old, new_nodes, hook)
         return True
+
+    def _deliver(self, gen: int, old: list[str], new_nodes: list[str], hook) -> None:
+        """Ordered at-most-once hook delivery: a generation that lost the race to a
+        newer delivery is skipped, so the LAST delivered membership is always the
+        newest adopted one (the level-triggered contract consumers rely on when
+        pushing ``rubix.cache.nodes``)."""
+        with self._hook_lock:
+            if gen <= self._delivered_gen:
+                return
+            self._delivered_gen = gen
+            hook(old, new_nodes)
 
     # ------------------------------------------------------------------ lifecycle
     def start(self) -> None:

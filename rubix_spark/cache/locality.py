@@ -78,6 +78,11 @@ def shim_confs(nodes: list[str], split_bytes: int | None = None, jar: str | None
     """Session confs that activate the rubix:// scheme (must be set BEFORE JVM start:
     extraClassPath is read at launch). ``nodes`` is the executor host list the ring
     hashes over — on a cluster, ``ring.executor_hosts(spark)`` feeds a refresh."""
+    if not nodes:
+        # fail at session build, not mid-scan: an empty node list would disable the
+        # shim's location fabrication silently (the JVM side guards length==0 by
+        # returning default locations), which reads as "locality mysteriously gone"
+        raise ValueError("shim_confs requires a non-empty executor host list")
     jar = jar or build_shim_jar()
     confs = {
         "spark.driver.extraClassPath": jar,
