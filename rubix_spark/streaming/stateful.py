@@ -337,10 +337,17 @@ def _run_append_until_quiescent(
                 .trigger(processingTime="10 milliseconds")
                 .start()
             )
-            deadline = time.time() + max_wait_s
+            t0 = time.time()
+            deadline = t0 + max_wait_s
             while time.time() < deadline:
                 rp = q.recentProgress
                 if rp and rp[-1]["numInputRows"] == 0 and not q.status["isDataAvailable"]:
+                    break
+                # a source with NO files never executes a batch at all (no
+                # progress rows ever appear) — without this the loop would spin
+                # the full max_wait on an empty input; 5 s comfortably covers
+                # cold file-listing before declaring the stream empty
+                if not rp and not q.status["isDataAvailable"] and time.time() > t0 + 5.0:
                     break
                 time.sleep(0.02)
             q.stop()

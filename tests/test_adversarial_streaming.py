@@ -594,6 +594,27 @@ def test_s8_restart_fires_newly_eligible_timeouts_once(spark, tmp_path):
     ]
 
 
+def test_s8_empty_source_returns_empty_quickly(spark, tmp_path):
+    """A stream directory with ZERO files never executes a batch (no progress rows
+    at all) — the quiescence runner must short-circuit, not spin its full
+    max_wait."""
+    import time as _time
+
+    from rubix_spark.streaming.stateful import (
+        _run_append_until_quiescent,
+        stateful_sessions_timeout,
+    )
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    t0 = _time.time()
+    out = _run_append_until_quiescent(
+        spark, stateful_sessions_timeout(_stream(spark, d)), partitions=4, max_wait_s=60
+    )
+    assert out.count() == 0
+    assert _time.time() - t0 < 30
+
+
 # ------------------------------------------------------- s7 incremental dedup
 def test_s7_incremental_dedup_multibatch_matches_oracle(spark, tmp_path, monkeypatch):
     """s7 (foreachBatch vs the persisted corpus band index) under FORCED
