@@ -41,6 +41,35 @@ from typing import Callable
 _JMX_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm", "RubixCacheMetrics.java")
 
 
+def _gauge_value(value) -> float | None:
+    """Coerce one stats entry to a finite float gauge, or None to skip it.
+
+    Adversarial-values probe (r13): the old ``isinstance(value, (int, float))``
+    gate had two silent wire bugs — a BOOL passed it (``bool`` subclasses ``int``)
+    and StatsD emitted the malformed line ``name:True|g`` that every statsd agent
+    drops; and numpy integer scalars (``np.int64`` — what pyarrow/numpy-derived
+    stats naturally carry) FAILED it, silently dropping the metric. Bools are 0/1
+    gauges; any ``numbers.Real`` counts; non-finite values are skipped entirely (a
+    NaN gauge poisons downstream rollup aggregation in statsd/ganglia alike).
+    """
+    import math
+    import numbers
+
+    if isinstance(value, bool):
+        return 1.0 if value else 0.0
+    if isinstance(value, numbers.Real):
+        f = float(value)
+        return f if math.isfinite(f) else None
+    return None
+
+
+def _gauge_text(f: float) -> str:
+    """Wire text for a gauge: integral values print as integers (statsd agents and
+    gmond both parse them; ``1e+20``-style float repr is NOT universally accepted
+    for large counters), everything else as the shortest exact float repr."""
+    return str(int(f)) if f.is_integer() and abs(f) < 2**63 else repr(f)
+
+
 class _PeriodicReporter:
     """Base: pull stats() every ``interval`` seconds on a daemon thread."""
 
@@ -93,8 +122,9 @@ class StatsDReporter(_PeriodicReporter):
 
     def emit(self, stats: dict) -> None:
         for name, value in stats.items():
-            if isinstance(value, (int, float)):
-                payload = f"{self._prefix}.{name}:{value}|g".encode()
+            f = _gauge_value(value)
+            if f is not None:
+                payload = f"{self._prefix}.{name}:{_gauge_text(f)}|g".encode()
                 self._sock.sendto(payload, self._addr)
 
     def stop(self) -> None:
@@ -146,14 +176,15 @@ class GangliaReporter(_PeriodicReporter):
         )
         val = (
             _xdr_int(133) + _xdr_str(self._host) + _xdr_str(full) + _xdr_int(0)
-            + _xdr_str("%s") + _xdr_str(repr(float(value)))
+            + _xdr_str("%s") + _xdr_str(_gauge_text(float(value)))
         )
         return meta, val
 
     def emit(self, stats: dict) -> None:
         for name, value in stats.items():
-            if isinstance(value, (int, float)):
-                meta, val = self._packets(name, value)
+            f = _gauge_value(value)
+            if f is not None:
+                meta, val = self._packets(name, f)
                 self._sock.sendto(meta, self._addr)
                 self._sock.sendto(val, self._addr)
 
@@ -194,8 +225,9 @@ class JMXReporter(_PeriodicReporter):
 
     def emit(self, stats: dict) -> None:
         for name, value in stats.items():
-            if isinstance(value, (int, float)):
-                self._bean.put(name, float(value))
+            f = _gauge_value(value)
+            if f is not None:
+                self._bean.put(name, f)
 
     def stop(self) -> None:
         super().stop()

@@ -134,3 +134,82 @@ def test_reporter_failure_does_not_raise():
     time.sleep(0.1)  # several failing cycles; daemon thread must survive
     assert rep._thread.is_alive()
     rep.stop()
+
+
+# ------------------------------------------------- adversarial gauge values (r13)
+def _adversarial_stats():
+    import numpy as np
+
+    return {
+        "flag_on": True,            # bool subclasses int — old gate emitted "True|g"
+        "flag_off": False,
+        "np_count": np.int64(153156),   # numpy scalar — old gate silently DROPPED it
+        "np_rate": np.float64(0.25),
+        "nan_rate": float("nan"),   # non-finite: must be skipped, never sent
+        "inf_bytes": float("inf"),
+        "neg": -7,
+        "big": 10**15,              # counters overflow float repr readability
+        "name": "a-string",         # non-numeric: skipped
+    }
+
+
+def test_statsd_adversarial_values_are_wire_legal():
+    """Every emitted StatsD line must be parseable as <name>:<float>|g — bools
+    become 0/1, numpy scalars are emitted, non-finite values are skipped (the old
+    isinstance gate sent the malformed 'flag_on:True|g' and dropped np.int64)."""
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(2.0)
+    port = recv.getsockname()[1]
+    rep = StatsDReporter(_adversarial_stats, port=port, prefix="t.adv")
+    rep.report_once()
+    got = {}
+    for _ in range(6):  # the six emittable entries; nan/inf/string never arrive
+        line = recv.recv(1024).decode()
+        body, kind = line.rsplit("|", 1)
+        name, value = body.rsplit(":", 1)
+        assert kind == "g" and name.startswith("t.adv.")
+        got[name.removeprefix("t.adv.")] = float(value)  # must parse as a number
+    assert got == {
+        "flag_on": 1.0, "flag_off": 0.0, "np_count": 153156.0,
+        "np_rate": 0.25, "neg": -7.0, "big": 1e15,
+    }
+    # integral gauges travel as plain integers (agents reject exponent notation)
+    rep.stop()
+    recv.close()
+
+
+def test_ganglia_adversarial_values_parse_as_floats():
+    import struct
+
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(2.0)
+    port = recv.getsockname()[1]
+    rep = GangliaReporter(
+        _adversarial_stats, host="127.0.0.1", port=port, prefix="t.adv", group="tg"
+    )
+    rep.report_once()
+
+    def xdr_str(buf, off):
+        (n,) = struct.unpack_from("!i", buf, off)
+        s = buf[off + 4 : off + 4 + n].decode()
+        return s, off + 4 + n + ((4 - n % 4) % 4)
+
+    values = {}
+    for _ in range(12):  # six emittable metrics x (meta + value)
+        pkt = recv.recv(2048)
+        (msg,) = struct.unpack_from("!i", pkt, 0)
+        _, off = xdr_str(pkt, 4)
+        name, off = xdr_str(pkt, off)
+        if msg == 133:
+            off += 4  # spoof flag
+            _, off = xdr_str(pkt, off)  # "%s" format
+            text, _ = xdr_str(pkt, off)
+            values[name.removeprefix("t.adv.")] = float(text)  # must parse
+    assert values == {
+        "flag_on": 1.0, "flag_off": 0.0, "np_count": 153156.0,
+        "np_rate": 0.25, "neg": -7.0, "big": 1e15,
+    }
+    rep.stop()
+    recv.close()
