@@ -45,10 +45,26 @@ import time
 from rubix_spark.cache.manager import CacheManager
 
 
+_MAX_LINE = 1 << 20  # request-frame bound: a newline-less flood must not OOM the daemon
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection, many pipelined requests
         mgr: CacheManager = self.server.manager  # type: ignore[attr-defined]
-        for line in self.rfile:
+        while True:
+            line = self.rfile.readline(_MAX_LINE + 1)
+            if not line:
+                break
+            if len(line) > _MAX_LINE and not line.endswith(b"\n"):
+                # no frame boundary within the bound — the stream cannot be
+                # resynchronized, so answer once and drop the connection
+                # (r13 adversarial-input probe: `for line in rfile` buffered
+                # the entire flood in memory first)
+                self.wfile.write(
+                    (json.dumps({"ok": False, "error": "RequestTooLarge: no newline within 1 MiB"}) + "\n").encode()
+                )
+                self.wfile.flush()
+                break
             line = line.strip()
             if not line:
                 continue
@@ -126,13 +142,22 @@ class _Handler(socketserver.StreamRequestHandler):
 
 
 class CacheServer(socketserver.ThreadingTCPServer):
-    """Daemon embedding a sessionless CacheManager over one cache directory."""
+    """Daemon embedding a sessionless CacheManager over one cache directory.
+
+    Unlike the embedded manager (whose caller is the engine reading its own
+    tables, allow-all by reference parity), the daemon takes ``warm`` over the
+    network — an allow-all default would let any client on the socket copy ANY
+    readable file into the cache and ``fetch`` it back (r13 adversarial-input
+    probe). The daemon therefore defaults its gate to parquet paths; deployments
+    fronting other formats widen it with ``allow_patterns=...`` explicitly.
+    """
 
     allow_reuse_address = True
     daemon_threads = True
 
     def __init__(self, cache_dir: str, host: str = "127.0.0.1", port: int = 0, **manager_kwargs):
         super().__init__((host, port), _Handler)
+        manager_kwargs.setdefault("allow_patterns", (r"\.parquet(/|$)",))
         self.manager = CacheManager(None, cache_dir, **manager_kwargs)
 
     @property

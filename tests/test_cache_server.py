@@ -139,3 +139,97 @@ def test_nonlocal_read_chain_peer_serves_before_remote(tmp_path, spark):
         assert df2.count() == spark.read.parquet(lineitem).count()
     finally:
         node_a.shutdown()
+
+
+# ---------------------------------------------- adversarial request frames (r13)
+def _raw(addr, payload: bytes, read_lines: int = 1, timeout=5.0):
+    """Send raw bytes, read back up to ``read_lines`` JSON lines."""
+    import socket as _socket
+
+    s = _socket.create_connection(addr, timeout=timeout)
+    try:
+        s.sendall(payload)
+        f = s.makefile("rb")
+        return [f.readline() for _ in range(read_lines)]
+    finally:
+        s.close()
+
+
+def test_hostile_frames_never_kill_the_daemon(tmp_path):
+    """Generated hostile inputs against one live daemon: every frame gets either a
+    JSON error or a dropped connection, the daemon answers a clean ping after each,
+    and a good request PIPELINED AFTER a bad one on the same connection still works."""
+    import json as _json
+
+    srv = CacheServer(str(tmp_path / "cache"))
+    srv.serve_background()
+    try:
+        addr = srv.address
+        hostile = [
+            b"not json at all\n",
+            b"\x00\xff\xfe\x01binary junk\n",
+            b'"just a string"\n',                      # JSON but not an object
+            b"[1,2,3]\n",                              # JSON array
+            b'{"method": 42}\n',                       # non-string method
+            b'{"method": "warm"}\n',                   # missing params.path
+            b'{"method": "warm", "params": 5}\n',      # params wrong type
+            b'{"method": "no_such_method", "params": {}}\n',
+            b'{"method": "evict", "params": {"budget_bytes": "NaN"}}\n',
+            ("{" + "a" * 600_000 + "\n").encode(),     # huge but bounded garbage
+        ]
+        for frame in hostile:
+            (resp,) = _raw(addr, frame)
+            assert resp, f"connection died with no answer for {frame[:40]!r}"
+            out = _json.loads(resp)
+            assert out["ok"] is False and "error" in out
+            # the daemon is still alive and sane after every hostile frame
+            (pong,) = _raw(addr, b'{"method": "ping", "params": {}}\n')
+            assert _json.loads(pong)["ok"] is True
+
+        # well-formed-but-odd: a null path is an absent key, not a crash
+        (resp,) = _raw(addr, b'{"method": "get_cache_status", "params": {"path": null}}\n')
+        out = _json.loads(resp)
+        assert out["ok"] is True and out["result"]["state"] == "ABSENT"
+
+        # bad-then-good pipelined on ONE connection: the stream resynchronizes
+        lines = _raw(addr, b"garbage\n" + b'{"method": "ping", "params": {}}\n', read_lines=2)
+        assert _json.loads(lines[0])["ok"] is False
+        assert _json.loads(lines[1])["result"]["pong"] is True
+    finally:
+        srv.shutdown()
+
+
+def test_newlineless_flood_is_bounded_and_answered(tmp_path):
+    """A frame with no newline inside the 1 MiB bound cannot be resynchronized:
+    the daemon answers RequestTooLarge once and drops the connection instead of
+    buffering the flood (pre-fix, `for line in rfile` read it ALL into memory)."""
+    import json as _json
+
+    srv = CacheServer(str(tmp_path / "cache"))
+    srv.serve_background()
+    try:
+        addr = srv.address
+        (resp,) = _raw(addr, b"x" * (2 << 20))  # 2 MiB, no newline
+        out = _json.loads(resp)
+        assert out["ok"] is False and "RequestTooLarge" in out["error"]
+        # fresh connections are unaffected
+        (pong,) = _raw(addr, b'{"method": "ping", "params": {}}\n')
+        assert _json.loads(pong)["ok"] is True
+    finally:
+        srv.shutdown()
+
+
+def test_warm_of_gated_path_is_denied_not_cached(tmp_path):
+    """The RPC warm path honors the manager's allow/deny gate (A7): a daemon asked
+    to warm an arbitrary non-parquet system path must not copy it into the cache."""
+    srv = CacheServer(str(tmp_path / "cache"))
+    srv.serve_background()
+    try:
+        host, port = srv.address
+        cli = CacheClient(host, port)
+        out = cli.warm("/etc/hostname")
+        assert out["local_path"] is None
+        assert cli.call("list_entries")["entries"] == []
+        cli.close()
+    finally:
+        srv.shutdown()
