@@ -142,10 +142,19 @@ class CacheManager:
 
     # ------------------------------------------------------------------ policy
     def cacheable(self, remote_path: str) -> bool:
-        """Allow/deny regex gate (CacheUtil.java:203-222, 341-355)."""
-        if any(p.search(remote_path) for p in self._deny):
+        """Allow/deny regex gate (CacheUtil.java:203-222, 341-355).
+
+        The path is lexically NORMALIZED before matching: a suffix-anchored allow
+        pattern (the daemon's parquet gate) is otherwise bypassable with
+        ``real.parquet/../../etc/passwd`` — the '.parquet/' substring matches but
+        the OS resolves the dotdots to an arbitrary file (review-caught, r13).
+        Symlinks are not resolved (lexical only); a deployment that must defend
+        against hostile local symlinks should gate on os.path.realpath instead.
+        """
+        norm = os.path.normpath(remote_path)
+        if any(p.search(norm) for p in self._deny):
             return False
-        return any(p.search(remote_path) for p in self._allow)
+        return any(p.search(norm) for p in self._allow)
 
     def _remote_penalty(self, trips: int = 1) -> None:
         """Pay ``trips`` synthetic remote round trips (driver-side call sites)."""

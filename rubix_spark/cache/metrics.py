@@ -55,7 +55,9 @@ def _gauge_value(value) -> float | None:
     import math
     import numbers
 
-    if isinstance(value, bool):
+    # np.bool_ is neither a bool subclass nor numbers.Real — without the name
+    # check it silently vanishes, the exact drop class this helper exists to fix
+    if isinstance(value, bool) or type(value).__name__ == "bool_":
         return 1.0 if value else 0.0
     if isinstance(value, numbers.Real):
         f = float(value)

@@ -151,10 +151,15 @@ def _stream_partitions(sf_dir: str) -> int:
 _shuffle_conf_lock = threading.Lock()
 
 
-def _run_available_now(
-    spark: SparkSession, result: DataFrame, mode: str = "complete", partitions: int | None = None
+def _drive_capture(
+    spark: SparkSession,
+    result: DataFrame,
+    mode: str,
+    partitions: int | None,
+    run_query,
 ) -> DataFrame:
-    """Execute a streaming plan to completion; return the result as a DataFrame.
+    """Shared scaffolding for bounded stream execution (one implementation for every
+    runner — a second copy of this contract drifted within a session, review-caught).
 
     Round-6: foreachBatch + eager ``localCheckpoint`` instead of a memory sink. The
     memory sink materializes every batch as rows ON THE DRIVER and its table is never
@@ -168,7 +173,8 @@ def _run_available_now(
 
     ``partitions`` (from ``_stream_partitions``) is applied for the duration of the run
     and restored after — the state-store count is pinned into the query's checkpoint at
-    start, so this is the one place it can be set."""
+    start, so this is the one place it can be set. ``run_query(writer)`` sets the
+    trigger, starts the query, and drives it to completion."""
     batches: list[tuple[int, DataFrame]] = []
 
     def capture(bdf: DataFrame, batch_id: int) -> None:
@@ -179,13 +185,7 @@ def _run_available_now(
         if partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
         try:
-            q = (
-                result.writeStream.foreachBatch(capture)
-                .outputMode(mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            run_query(result.writeStream.foreachBatch(capture).outputMode(mode))
         finally:
             if partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -197,6 +197,20 @@ def _run_available_now(
     for _, bdf in sorted(batches, key=lambda t: t[0]):
         out = bdf if out is None else out.unionByName(bdf)
     return out
+
+
+def _run_available_now(
+    spark: SparkSession, result: DataFrame, mode: str = "complete", partitions: int | None = None
+) -> DataFrame:
+    """Execute a streaming plan to completion; return the result as a DataFrame.
+    NOTE: availableNow never runs the trailing no-data batch (invariant 37) — for
+    plans with event-time timeouts use ``stateful._run_append_until_quiescent``."""
+
+    def run(writer):
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    return _drive_capture(spark, result, mode, partitions, run)
 
 
 @register(

@@ -317,50 +317,39 @@ def _run_append_until_quiescent(
     """
     import time
 
-    batches: list[tuple[int, DataFrame]] = []
+    from rubix_spark.streaming.events import _drive_capture
 
-    def capture(bdf: DataFrame, batch_id: int) -> None:
-        batches.append((batch_id, bdf.localCheckpoint(eager=True)))
+    def run(writer):
+        # short trigger: the gap between the last data batch and the timeout-
+        # firing no-data batch is pure wait (measured ~0.1-0.3 s at 100 ms); the
+        # batches themselves are seconds, so a 10 ms trigger adds no pressure
+        q = writer.trigger(processingTime="10 milliseconds").start()
+        t0 = time.time()
+        deadline = t0 + max_wait_s
+        while time.time() < deadline:
+            rp = q.recentProgress
+            status = q.status
+            if rp and rp[-1]["numInputRows"] == 0 and not status["isDataAvailable"]:
+                break
+            # a source with NO files never executes a batch at all (no progress
+            # rows ever appear) — but wall-clock alone can't distinguish that
+            # from a stalled initialization (this VM stalls runs 3-5x at random,
+            # invariant 11), so the empty verdict also requires the query to
+            # have REACHED its idle state: 'Waiting for data to arrive' only
+            # appears after a completed trigger found the source empty, while a
+            # stalled init stays in 'Initializing sources'/'Getting offsets'.
+            if (
+                not rp
+                and not status["isDataAvailable"]
+                and "waiting for data" in str(status.get("message", "")).lower()
+                and time.time() > t0 + 5.0
+            ):
+                break
+            time.sleep(0.02)
+        q.stop()
+        q.awaitTermination()
 
-    with _shuffle_conf_lock:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        if partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-        try:
-            q = (
-                result.writeStream.foreachBatch(capture)
-                .outputMode("append")
-                # short trigger: the gap between the last data batch and the
-                # timeout-firing no-data batch is pure wait (measured ~0.1-0.3 s
-                # at 100 ms); the batches themselves are seconds, so a 10 ms
-                # trigger adds no scheduling pressure
-                .trigger(processingTime="10 milliseconds")
-                .start()
-            )
-            t0 = time.time()
-            deadline = t0 + max_wait_s
-            while time.time() < deadline:
-                rp = q.recentProgress
-                if rp and rp[-1]["numInputRows"] == 0 and not q.status["isDataAvailable"]:
-                    break
-                # a source with NO files never executes a batch at all (no
-                # progress rows ever appear) — without this the loop would spin
-                # the full max_wait on an empty input; 5 s comfortably covers
-                # cold file-listing before declaring the stream empty
-                if not rp and not q.status["isDataAvailable"] and time.time() > t0 + 5.0:
-                    break
-                time.sleep(0.02)
-            q.stop()
-            q.awaitTermination()
-        finally:
-            if partitions is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
-    if not batches:
-        return spark.createDataFrame([], result.schema)
-    out = None
-    for _, bdf in sorted(batches, key=lambda t: t[0]):
-        out = bdf if out is None else out.unionByName(bdf)
-    return out
+    return _drive_capture(spark, result, "append", partitions, run)
 
 
 @register(
@@ -381,12 +370,14 @@ def _run_append_until_quiescent(
         FROM o
     ),
     g AS (
-        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events, {duck_sum_fast("value", "total_v")}
         FROM s GROUP BY user_id, sid
-    )
-    SELECT user_id, session_start, n_events, total_v FROM g
-    WHERE (epoch_us(session_end) + 1800000000 + 999) // 1000
+    ),
+    t AS (SELECT g.*, MAX(sid) OVER (PARTITION BY user_id) AS last_sid FROM g)
+    SELECT user_id, session_start, n_events, total_v FROM t
+    WHERE sid < last_sid
+       OR (epoch_us(session_end) + 1800000000 + 999) // 1000
           < (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE ts IS NOT NULL)
     """,
     doc=(
@@ -397,13 +388,18 @@ def _run_append_until_quiescent(
         "no-data batch a processingTime trigger runs after the source drains "
         "(availableNow never runs it — measured; _run_append_until_quiescent). "
         "Sessions the final watermark cannot prove closed are withheld, and the "
-        "oracle states the MEASURED engine rule exactly: GroupState timeouts are "
-        "millisecond-granular and fire on deadline STRICTLY BELOW watermark, so "
-        "emitted = sessions with ceil_ms(end + 30min) < floor_ms(max event ts) "
-        "(delay 0; a deadline landing in the watermark's exact millisecond stays "
-        "open). The emitted set is a pure function of the input under watermark-"
-        "ordered delivery, independent of micro-batch slicing. Output-identical to "
-        "s4 minus each user's unprovable tail."
+        "oracle states the engine semantics exactly: every NON-TAIL session is "
+        "emitted unconditionally (closed by its user's later data — the watermark "
+        "plays no part), while each user's TAIL session follows the MEASURED "
+        "timeout rule: GroupState timeouts are millisecond-granular and fire on "
+        "deadline STRICTLY BELOW watermark, i.e. ceil_ms(end + 30min) < "
+        "floor_ms(max event ts) (delay 0; a deadline landing in the watermark's "
+        "exact millisecond stays open). A single watermark predicate over ALL "
+        "sessions is WRONG: a closing event within 1 ms past the gap at the "
+        "stream's end data-closes a session the ms-granular predicate rejects "
+        "(caught by review; pinned in the adversarial suite). The emitted set is "
+        "a pure function of the input under watermark-ordered delivery, "
+        "independent of micro-batch slicing."
     ),
 )
 def s8_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -497,6 +497,32 @@ def test_s8_deadline_watermark_millisecond_boundary(spark, tmp_path):
     assert got == [("1", "2024-01-01 00:29:59.999000", "1", "1.0")]
 
 
+def test_s8_data_closed_session_at_stream_end_is_emitted(spark, tmp_path):
+    """A session closed BY DATA is final regardless of the watermark — even when
+    the closing event lands within 1 ms past the gap AND is the global max ts, so
+    the ms-granular timeout predicate would reject it. The oracle must emit every
+    non-tail session unconditionally and apply the watermark rule only to each
+    user's tail (a single watermark predicate over all sessions was the review-
+    caught defect: kernel and oracle diverged exactly in this 1 ms window)."""
+    from rubix_spark.streaming.stateful import (
+        _run_append_until_quiescent,
+        stateful_sessions_timeout,
+    )
+
+    rows = [
+        (0, BASE, 1, "a", 1.0),
+        # closes session 1 by data: 1µs past the gap, and IS the global max —
+        # ceil_ms(end+gap) == floor_ms(max ts), so the timeout rule alone says no
+        (1, BASE + 30 * M + US, 1, "a", 2.0),
+    ]
+    d = _mk_stream(str(tmp_path / "s8dc"), rows, [[0, 1]])
+    got = _rows(_run_append_until_quiescent(
+        spark, stateful_sessions_timeout(_stream(spark, d)), partitions=4))
+    assert got == _oracle("s8_stream_timeout_sessions", d)
+    # session 1 emitted (data-closed); session 2 is the unprovable tail
+    assert got == [("1", "2024-01-01 00:00:00", "1", "1.0")]
+
+
 def test_s8_session_spans_micro_batches_emits_once(spark, tmp_path):
     """A session continued across micro-batches emits ONCE with full totals and no
     finalize pass (unlike s4's per-batch snapshots); slicing does not change the

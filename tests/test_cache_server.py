@@ -229,6 +229,10 @@ def test_warm_of_gated_path_is_denied_not_cached(tmp_path):
         cli = CacheClient(host, port)
         out = cli.warm("/etc/hostname")
         assert out["local_path"] is None
+        # dotdot traversal through a real .parquet segment must not slip the gate:
+        # the raw string contains '.parquet/' but normalizes to /etc/hostname
+        out = cli.warm("/tmp/whatever.parquet/../../../etc/hostname")
+        assert out["local_path"] is None
         assert cli.call("list_entries")["entries"] == []
         cli.close()
     finally:

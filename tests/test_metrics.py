@@ -145,6 +145,7 @@ def _adversarial_stats():
         "flag_off": False,
         "np_count": np.int64(153156),   # numpy scalar — old gate silently DROPPED it
         "np_rate": np.float64(0.25),
+        "np_flag": np.bool_(True),      # np.bool_ is neither bool nor numbers.Real
         "nan_rate": float("nan"),   # non-finite: must be skipped, never sent
         "inf_bytes": float("inf"),
         "neg": -7,
@@ -164,7 +165,7 @@ def test_statsd_adversarial_values_are_wire_legal():
     rep = StatsDReporter(_adversarial_stats, port=port, prefix="t.adv")
     rep.report_once()
     got = {}
-    for _ in range(6):  # the six emittable entries; nan/inf/string never arrive
+    for _ in range(7):  # the seven emittable entries; nan/inf/string never arrive
         line = recv.recv(1024).decode()
         body, kind = line.rsplit("|", 1)
         name, value = body.rsplit(":", 1)
@@ -172,7 +173,7 @@ def test_statsd_adversarial_values_are_wire_legal():
         got[name.removeprefix("t.adv.")] = float(value)  # must parse as a number
     assert got == {
         "flag_on": 1.0, "flag_off": 0.0, "np_count": 153156.0,
-        "np_rate": 0.25, "neg": -7.0, "big": 1e15,
+        "np_rate": 0.25, "np_flag": 1.0, "neg": -7.0, "big": 1e15,
     }
     # integral gauges travel as plain integers (agents reject exponent notation)
     rep.stop()
@@ -197,7 +198,7 @@ def test_ganglia_adversarial_values_parse_as_floats():
         return s, off + 4 + n + ((4 - n % 4) % 4)
 
     values = {}
-    for _ in range(12):  # six emittable metrics x (meta + value)
+    for _ in range(14):  # seven emittable metrics x (meta + value)
         pkt = recv.recv(2048)
         (msg,) = struct.unpack_from("!i", pkt, 0)
         _, off = xdr_str(pkt, 4)
@@ -209,7 +210,7 @@ def test_ganglia_adversarial_values_parse_as_floats():
             values[name.removeprefix("t.adv.")] = float(text)  # must parse
     assert values == {
         "flag_on": 1.0, "flag_off": 0.0, "np_count": 153156.0,
-        "np_rate": 0.25, "neg": -7.0, "big": 1e15,
+        "np_rate": 0.25, "np_flag": 1.0, "neg": -7.0, "big": 1e15,
     }
     rep.stop()
     recv.close()
