@@ -43,7 +43,11 @@ class WarmupProcessor:
             if remote_path in self._pending:
                 return False
             self._pending.add(remote_path)
-        self._idle.clear()
+            # clear idle INSIDE the lock: cleared after release, a concurrent
+            # drain() could observe the stale set flag and report "drained" with
+            # this request still unprocessed (r13 generated-schedule probe —
+            # the enqueue-side half of the worker's pending/empty check)
+            self._idle.clear()
         self._q.put(remote_path)
         return True
 
@@ -57,7 +61,13 @@ class WarmupProcessor:
                 # run the distributed copy in a dedicated scheduler pool so foreground
                 # queries keep their task slots (FAIR pool analog of the fetch pool)
                 sc.setLocalProperty("spark.scheduler.pool", self.pool_name)
-                if self.manager.manifest.get(path) is None:
+                entry = self.manager.manifest.get(path)
+                # the module's declared semantics: staleness re-checked at
+                # execution, so a request enqueued before the file changed warms
+                # the NEW content — the old `entry is None` gate skipped any
+                # existing entry, stale included, silently keeping the old copy
+                # until a foreground read paid the warm (r13 probe)
+                if entry is None or not self.manager._fresh(entry, path):
                     self.manager.warm(path)
             except Exception:
                 pass  # fallback semantics: a failed warm just leaves the read remote
