@@ -48,7 +48,13 @@ def round_det(col: Column, n: int = 2) -> Column:
     runs.  Summed money therefore never takes this path — see money_sum_fast /
     avg_units_det, which quantize in integer space at any magnitude."""
     m = float(10**n)
-    return F.floor(col.cast("double") * m + 0.5) / F.lit(m)
+    # NaN passes THROUGH (r13 review): DuckDB's FLOOR(NaN) stays NaN while Spark's
+    # FLOOR (double -> bigint) coerces NaN to 0 (and CRASHES under ANSI — invariant
+    # 31e), so a NaN similarity finalized 0.0 on one engine and NaN on the other.
+    # Both engines rank a raw NaN identically (greatest; DESC-first), so the
+    # parity-correct finalize is the identity on NaN.
+    c = col.cast("double")
+    return F.when(F.isnan(c), c).otherwise(F.floor(c * m + 0.5) / F.lit(m))
 
 
 def dec_det(col: Column, scale: int = 4) -> Column:

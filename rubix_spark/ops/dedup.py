@@ -377,24 +377,18 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup (blocked)
 # ---------------------------------------------------------------------------
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-# Perf note (round 4): unrolling this fold into a flat 64-term element_at chain was
-# measured MUCH slower at sf1 (>300 s vs 42 s) — the generated method blows past the
-# JIT size limits and runs as interpreted bytecode. The HOF fold is the best
-# SQL-expressible form; the BLAS twin (x1_embedding_neardup_np) is the scale path.
-
-
-_DUCK_DOT = (
-    "list_aggregate(list_transform(list_zip({a}, {b}), "
-    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
-)
+# ONE implementation of the cross-engine dot-product contract (r13 review:
+# dedup carried byte-identical private copies of similarity.dot/DUCK_DOT — two
+# places to apply the next NULLIF-class guard). similarity does not import
+# dedup, so this import is cycle-free.
+#
+# Perf note (round 4): unrolling the fold into a flat 64-term element_at chain
+# was measured MUCH slower at sf1 (>300 s vs 42 s) — the generated method blows
+# past the JIT size limits and runs as interpreted bytecode. The HOF fold is the
+# best SQL-expressible form; the BLAS twin (x1_embedding_neardup_np) is the
+# scale path.
+from rubix_spark.ops.similarity import DUCK_DOT as _DUCK_DOT  # noqa: E402
+from rubix_spark.ops.similarity import dot as _dot  # noqa: E402
 
 
 @register(
@@ -467,22 +461,32 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_block(pdf):
-    """Per-block numpy kernel: normalize rows, one matmul, emit pairs over threshold."""
+    """Per-block numpy kernel: normalize rows, one matmul, emit pairs over threshold.
+
+    Degradation == the exact HOF variant (r13 review, via ``_sem_split``): NULL/
+    off-width rows score NULL -> no pair; NaN-component pairs score NaN, which
+    BOTH engines accept at ``>= 0.4`` (NaN compares greatest) -> pair emitted
+    with a NaN sim (numpy's floor chain keeps NaN, matching round_det's NaN
+    passthrough)."""
     import numpy as np
     import pandas as pd
 
-    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    m = m / np.where(norms == 0, 1.0, norms)
+    m, ids_ok, _ = _sem_split(pdf)
+    if m is None or len(ids_ok) < 2:
+        return pd.DataFrame({
+            "vec_a": pd.array([], dtype="int64"),
+            "vec_b": pd.array([], dtype="int64"),
+            "sim": pd.array([], dtype="float64"),
+        })
     sims = m @ m.T
-    ids = pdf["vec_id"].to_numpy()
-    ii, jj = np.triu_indices(len(ids), k=1)
-    mask = sims[ii, jj] >= 0.4
+    ii, jj = np.triu_indices(len(ids_ok), k=1)
+    s = sims[ii, jj]
+    mask = (s >= 0.4) | np.isnan(s)
     # rows arrive in arbitrary partition order — canonicalize each pair as (lo, hi)
-    a, b = ids[ii[mask]], ids[jj[mask]]
+    a, b = ids_ok[ii[mask]], ids_ok[jj[mask]]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     return pd.DataFrame(
-        {"vec_a": lo, "vec_b": hi, "sim": np.floor(sims[ii, jj][mask] * 10000 + 0.5) / 10000.0}
+        {"vec_a": lo, "vec_b": hi, "sim": np.floor(s[mask] * 10000 + 0.5) / 10000.0}
     )
 
 
@@ -882,6 +886,32 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sem_split(rows):
+    """(normalized matrix | None, ok ids, degraded ids) for one kernel input.
+
+    Degradation contract == the exact SQL twin (r13 review; the ADVICE-r12 ANN
+    degradation applied here too): a NULL or off-width embedding scores NULL
+    against everything (zip_with pads NULL -> fold NULL), so it is never dropped
+    and can never drop others — such rows leave the matrix entirely and come
+    back kept. NaN COMPONENTS (correct width) stay IN the matrix: both engines
+    evaluate the pair's NaN score >= tau as TRUE (verified; NaN compares
+    greatest in Spark and DuckDB), so the numpy mask must OR in isnan. Zero
+    norms normalize against 1.0 (sims 0, kept) exactly like the NULLIF guard."""
+    import numpy as np
+
+    vals = rows["embedding"].tolist()
+    ids = rows["vec_id"].to_numpy()
+    lens = np.array([len(v) if v is not None else -1 for v in vals], dtype=np.int64)
+    good = lens[lens >= 0]
+    if not len(good):
+        return None, ids[:0], ids
+    width = int(np.bincount(good).argmax())
+    ok = lens == width
+    m = np.array([vals[i] for i in np.nonzero(ok)[0]], dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n), ids[ok], ids[~ok]
+
+
 def _sem_block(pdf):
     """Per-cluster numpy kernel (the nb == 1 branch): normalize, one matmul, drop
     the higher vec_id of any pair over SEM_TAU; emit every row with its kept flag.
@@ -889,14 +919,15 @@ def _sem_block(pdf):
     import numpy as np
     import pandas as pd
 
-    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    m = m / np.where(norms == 0, 1.0, norms)
-    sims = m @ m.T
+    m, ids_ok, _ = _sem_split(pdf)
     ids = pdf["vec_id"].to_numpy()
-    ii, jj = np.triu_indices(len(ids), k=1)
-    mask = sims[ii, jj] >= SEM_TAU
-    dropped = set(np.maximum(ids[ii[mask]], ids[jj[mask]]).tolist())
+    dropped: set = set()
+    if m is not None and len(ids_ok) >= 2:
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids_ok), k=1)
+        s = sims[ii, jj]
+        mask = (s >= SEM_TAU) | np.isnan(s)
+        dropped = set(np.maximum(ids_ok[ii[mask]], ids_ok[jj[mask]]).tolist())
     return pd.DataFrame(
         {
             "vec_id": ids,
@@ -914,27 +945,27 @@ def _sem_tile(pdf):
     import numpy as np
     import pandas as pd
 
-    def _norm(rows):
-        m = np.array(rows["embedding"].tolist(), dtype=np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        return m / np.where(n == 0, 1.0, n), rows["vec_id"].to_numpy()
-
+    empty = pd.DataFrame({"vec_id": pd.array([], dtype="int64")})
     diag = pdf["ti"].iat[0] == pdf["tj"].iat[0]
     if diag:
         a = pdf[pdf["side"] == 0]
-        if len(a) < 2:
-            return pd.DataFrame({"vec_id": pd.array([], dtype="int64")})
-        m, ids = _norm(a)
+        m, ids, _ = _sem_split(a) if len(a) else (None, None, None)
+        if m is None or len(ids) < 2:
+            return empty
         ii, jj = np.triu_indices(len(ids), k=1)
-        mask = (m @ m.T)[ii, jj] >= SEM_TAU
+        s = (m @ m.T)[ii, jj]
+        mask = (s >= SEM_TAU) | np.isnan(s)
         dropped = np.maximum(ids[ii[mask]], ids[jj[mask]])
     else:
         a, b = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
         if not (len(a) and len(b)):
-            return pd.DataFrame({"vec_id": pd.array([], dtype="int64")})
-        ma, ida = _norm(a)
-        mb, idb = _norm(b)
-        ii, jj = np.nonzero(ma @ mb.T >= SEM_TAU)
+            return empty
+        ma, ida, _ = _sem_split(a)
+        mb, idb, _ = _sem_split(b)
+        if ma is None or mb is None or not (len(ida) and len(idb)):
+            return empty
+        s = ma @ mb.T
+        ii, jj = np.nonzero((s >= SEM_TAU) | np.isnan(s))
         dropped = np.maximum(ida[ii], idb[jj])
     return pd.DataFrame({"vec_id": pd.unique(dropped).astype("int64")})
 

@@ -279,8 +279,12 @@ def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["doc_id"].to_numpy()
             out_ids, out_ph = [], []
             for p in phrases:
-                mask = pc.match_substring(padded, f" {p} ").to_numpy(zero_copy_only=False)
-                hit = ids[mask]
+                # NULL text propagates a null match — fill to False BEFORE numpy:
+                # an object-dtype [True, None] mask cannot index ids (IndexError
+                # killed the whole query where the oracle returns no row — r13
+                # review; same contract as SQL LIKE on NULL)
+                mask = pc.fill_null(pc.match_substring(padded, f" {p} "), False)
+                hit = ids[mask.to_numpy(zero_copy_only=False)]
                 out_ids.extend(hit.tolist())
                 out_ph.extend([p] * len(hit))
             if out_ids:
@@ -539,6 +543,29 @@ def _ntok_df(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] = ()) -> Da
 
 
 
+def _two_level_cum(t):
+    """(doc_id, n_tok, blk) -> + cum: block-local running total + broadcast block
+    offsets; the integer telescoping is bit-identical to a single global window.
+    ``t`` must already be checkpointed — both the cumsum and totals sides consume
+    it (invariant 3). Shared by the per-query pack core and the layout ingest so
+    the two branches agree exactly."""
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
+    totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn("boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))).select(
+        "blk", "boff"
+    )
+    return local.join(F.broadcast(offs), "blk").withColumn(
+        "cum", F.col("lcum") + F.col("boff")
+    )
+
+
 def docs_ntok_layout(spark: SparkSession, sf_dir: str):
     """Written (doc_id, blk, n_tok, cum) layout: token counts AND the GLOBAL
     doc_id-ordered running total materialized at ingest (round-11, r10 verdict #3).
@@ -566,21 +593,10 @@ def docs_ntok_layout(spark: SparkSession, sf_dir: str):
             .withColumn("blk", (F.col("doc_id") / PACK_BLOCK).cast("bigint"))
             .localCheckpoint(eager=True)
         )
-        w_in = (
-            Window.partitionBy("blk").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
-        totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
-        w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-        offs = totals.withColumn(
-            "boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))
-        ).select("blk", "boff")
-        return (
-            local.join(F.broadcast(offs), "blk")
-            .select("doc_id", "blk", "n_tok",
-                    (F.col("lcum") + F.col("boff")).alias("cum"))
-        )
+        # the ONE implementation of the cum computation (r13 review: build()
+        # carried a byte-identical copy of the helper's prefix sum — the
+        # bit-identical telescoping guarantee must live in one place)
+        return _two_level_cum(t).select("doc_id", "blk", "n_tok", "cum")
 
     return persisted_bucketed(
         spark,
@@ -599,19 +615,7 @@ def _two_level_prefix_bins(t):
     integer telescoping is bit-identical to a single global window — see x9_pack).
     ``t`` must already be checkpointed: both the cumsum and totals sides consume it
     (invariant 3)."""
-    from pyspark.sql import Window
-
-    w_in = (
-        Window.partitionBy("blk").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = t.withColumn("lcum", F.sum("n_tok").over(w_in))
-    totals = t.groupBy("blk").agg(F.sum("n_tok").alias("btot"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.withColumn("boff", F.coalesce(F.sum("btot").over(w_blk), F.lit(0))).select(
-        "blk", "boff"
-    )
-    c = local.join(F.broadcast(offs), "blk").withColumn("cum", F.col("lcum") + F.col("boff"))
+    c = _two_level_cum(t)
     start = F.col("cum") - F.col("n_tok")
     return c.withColumn("bin_id", F.floor(start / F.lit(float(PACK_BUDGET))))
 

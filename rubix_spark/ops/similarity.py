@@ -69,7 +69,13 @@ def cosine(a: Column, b: Column) -> Column:
 # is bit-identical: same zip_with/aggregate fold, doubles formatted via repr
 # round-trip.
 def _arr_sql(vec: list[float]) -> str:
-    return "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+    # non-finite doubles have no bare-literal spelling ('nanD' fails to parse):
+    # spell them through the string cast, which Spark folds to the same constant
+    # (NaN components reach here via a NaN-norm centroid — r13 review family)
+    def lit(x: float) -> str:
+        return f"{x!r}D" if x == x and abs(x) != float("inf") else f"double('{x!r}')"
+
+    return "array(" + ", ".join(lit(x) for x in vec) + ")"
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -291,21 +297,34 @@ def ann_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        def rank(s):
+            # the engines rank NaN sims FIRST under DESC (NaN compares greatest in
+            # Spark and DuckDB); np.lexsort on -s would bury NaN last instead
+            return -np.where(np.isnan(s), np.inf, s)
+
+        d = len(qn)
         ids = np.empty(0, dtype=np.int64)
         sims = np.empty(0, dtype=np.float64)
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # degrade NULL/off-width rows out of the candidate set exactly like
+            # the exact kernel (their fold sim is NULL -> never in the top-k);
+            # np.stack on a ragged/None column CRASHED instead (r13 review)
+            vals = pdf["embedding"].tolist()
+            ok = np.array([v is not None and len(v) == d for v in vals])
+            if not ok.any():
+                continue
+            m = np.array([vals[i] for i in np.nonzero(ok)[0]], dtype=np.float64)
             nrm = np.linalg.norm(m, axis=1)
             s = (m @ qn) / np.where(nrm == 0.0, 1.0, nrm)
-            ids = np.concatenate([ids, pdf["vec_id"].to_numpy()])
+            ids = np.concatenate([ids, pdf["vec_id"].to_numpy()[ok]])
             sims = np.concatenate([sims, s])
             if len(ids) > 8 * k:  # cap scratch: re-prune between batches
-                order = np.lexsort((ids, -sims))[:k]
+                order = np.lexsort((ids, rank(sims)))[:k]
                 ids, sims = ids[order], sims[order]
         if len(ids):
-            order = np.lexsort((ids, -sims))[:k]
+            order = np.lexsort((ids, rank(sims)))[:k]
             yield pd.DataFrame(
                 {"vec_id": ids[order],
                  "sim": np.floor(sims[order] * 10000 + 0.5) / 10000.0}
@@ -372,8 +391,20 @@ def _ivf_codebook(
 
 
 def _probe_cids(cents: dict, qe: list) -> list[int]:
-    """NPROBE nearest centroids to a query — the oracle's ORDER BY cos DESC, cid."""
-    return [cid for cid, _ in sorted(cents.items(), key=lambda kv: (-_py_cos(kv[1], qe), kv[0]))[:NPROBE]]
+    """NPROBE nearest centroids to a query — the oracle's ORDER BY cos DESC, cid.
+
+    NaN cosines (a NaN centroid/query component with non-zero norms) rank FIRST:
+    both engines order NaN greatest under DESC, while a raw NaN sort key makes
+    Python's sorted() comparisons unordered (it can misorder even the non-NaN
+    neighbors — r13 review). The explicit NaN-first class key replicates the
+    engines; -inf (the zero-norm NULL stand-in) naturally ranks last."""
+    import math
+
+    def key(kv):
+        c = _py_cos(kv[1], qe)
+        return (0 if math.isnan(c) else 1, -c if not math.isnan(c) else 0.0, kv[0])
+
+    return [cid for cid, _ in sorted(cents.items(), key=key)[:NPROBE]]
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,15 +447,20 @@ def _ivf_assign(emb: DataFrame, cents: dict) -> DataFrame:
     # and a NULL score never wins ROW_NUMBER(ORDER BY cos DESC) — dropping the
     # struct reproduces exactly that. All-zero codebook (or a zero query
     # vector): every score is NULL/0 on both engines and the tie rule picks the
-    # smallest cid. Fixture codebooks have no zero centroids, so the generated
-    # expressions — and every measured plan — are unchanged.
+    # smallest cid. A NaN-COMPONENT centroid (norm NaN, not zero) is the
+    # opposite case and must be KEPT: its cosine is NaN and BOTH engines rank
+    # NaN greatest under ORDER BY cos DESC / greatest(), so dropping it would
+    # hand the win to a different centroid than the oracle (r13 review; the
+    # NaN/NaN normalized constants reproduce the NaN score exactly). Fixture
+    # codebooks have neither, so generated expressions and measured plans are
+    # unchanged.
     scored = [
         F.struct(
             dot_lit("embedding", [x / math.sqrt(_py_dot(ce, ce)) for x in ce]).alias("cs"),
             F.lit(-cid).alias("mcid"),
         )
         for cid, ce in cents.items()
-        if _py_dot(ce, ce) > 0.0
+        if _py_dot(ce, ce) > 0.0 or math.isnan(_py_dot(ce, ce))
     ]
     if not scored:
         return emb.select("vec_id", "embedding", F.lit(min(cents)).alias("cid"))
@@ -513,10 +549,17 @@ def _py_bucket(qe: list) -> int:
     """The query's sign-LSH bucket, computed driver-side. Bit-identical to
     ``_lsh_bucket()``: the per-plane dot products are exact in double (float32
     mantissa × |w|≤500 stays under 53 bits) and ``_py_dot`` is the same sequential
-    fold, so the sign bits agree with both engines."""
+    fold, so the sign bits agree with both engines. NaN dot (a NaN query
+    component): BOTH engines evaluate ``NaN > 0`` TRUE (Spark orders NaN greatest;
+    DuckDB likewise) while Python's is False — the sign bit must replicate the
+    engines' rule or the probe scans a different bucket than the index assigned
+    (r13 review)."""
+    import math
+
     b = 0
     for p, plane in enumerate(_planes()):
-        if _py_dot(qe, plane) > 0:
+        d = _py_dot(qe, plane)
+        if d > 0 or math.isnan(d):
             b |= 1 << p
     return b
 
@@ -980,7 +1023,16 @@ def _pq_train(emb: DataFrame, memo_key: str | None = None):
         emb.where(F.col("vec_id") < PQ_TRAIN_N).select("vec_id", "embedding")
         .orderBy("vec_id").collect()
     )
-    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    # training degrades NULL/off-width rows out of the sample (np.array on a
+    # ragged/None collection crashes the index build — r13 review); the modal
+    # width is the corpus contract (TESTDATA.md fixed-width embeddings)
+    vecs = [r.embedding for r in rows if r.embedding is not None]
+    if not vecs:
+        raise ValueError("PQ training sample has no usable embeddings")
+    from collections import Counter
+
+    width = Counter(len(v) for v in vecs).most_common(1)[0][0]
+    x = np.array([v for v in vecs if len(v) == width], dtype=np.float64)
     n, dim = x.shape
     dsub = dim // PQ_M
     books = np.empty((PQ_M, PQ_KS, dsub))

@@ -28,7 +28,19 @@ def salted_join(
 
     Output columns = big's columns + small's non-key columns (the usual join result;
     salt columns never escape).
+
+    ``how`` is restricted to the joins whose semantics survive replicating the
+    small side: inner and the big-side-preserving left family. A right/full outer
+    join would emit one null-extended row PER SALT REPLICA for every unmatched
+    small-side key (r13 review) — fail loudly instead of multiplying rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} — '{how}' would duplicate "
+            "unmatched small-side rows across salt replicas"
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     exploded_small = small.withColumn("_salt", F.explode(salts))

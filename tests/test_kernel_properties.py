@@ -121,6 +121,14 @@ def adversarial_emb_dir(tmp_path_factory):
     m[50] = m[40]          # exact duplicate pair
     m[60] = 2.0 * m[40]    # colinear (cos == 1 after normalize)
     m[70] = 0.0            # zero vector (norm guard)
+    # NaN COMPONENTS (r13 review family): both engines score such pairs NaN and
+    # rank NaN greatest (NaN >= tau TRUE, DESC-first — verified), so every
+    # kernel/driver replica and the round_det finalize must carry NaN through
+    # rather than coerce (Spark FLOOR->bigint gave 0.0), bury it (np.lexsort),
+    # or skip the row (Python NaN>0 False). One inside the codebook (a NaN
+    # centroid wins every assignment in BOTH engines), one in the corpus.
+    m[5, 0] = np.float32("nan")
+    m[80, 3] = np.float32("nan")
     d = tmp_path_factory.mktemp("advemb")
     tbl = pa.table({
         "vec_id": pa.array(range(n), pa.int64()),
@@ -185,9 +193,20 @@ def test_hub_components_match_pairs_on_random_buckets(spark):
 
 
 def _canon(rows):
-    """None-safe canonical ordering for result-set comparison (tuples with NULLs
-    are not sortable with bare <): NULLs order last within their column."""
-    return sorted(rows, key=lambda row: tuple((x is None, x if x is not None else 0) for x in row))
+    """None/NaN-safe canonical form for result-set comparison: tuples with NULLs
+    are not sortable with bare < (NULLs order last within their column), and a
+    raw float NaN fails == even against itself — both engines legitimately
+    return NaN cells (the r13 NaN-component family), so NaN canonicalizes to a
+    sentinel string that compares equal across engines."""
+    import math
+
+    def cell(x):
+        if isinstance(x, float) and math.isnan(x):
+            return "NaN"
+        return x
+
+    rows = [tuple(cell(x) for x in row) for row in rows]
+    return sorted(rows, key=lambda row: tuple((x is None, str(x)) for x in row))
 
 
 @pytest.mark.parametrize("name", [
@@ -302,3 +321,50 @@ def test_stateful_sessionizer_on_adversarial_events(spark, adversarial_events_di
     con.close()
     s = _canon(tuple(r) for r in q.builder(spark, adversarial_events_dir).collect())
     assert s == o, f"spark={len(s)} oracle={len(o)}"
+
+
+def test_contamination_kernel_survives_null_text(spark, tmp_path):
+    """A NULL text row must contribute no contamination hit, like SQL LIKE on
+    NULL — the old kernel's object-dtype [True, None] mask crashed the whole
+    query with IndexError (r13 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "nulldocs"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["data spark sql wins", None, "nothing here"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([10, 0, 12], pa.int32()),
+    }), str(d / "documents.parquet"))
+    got = _canon(tuple(r) for r in REG["x9_contamination"].builder(spark, str(d)).collect())
+    o = REG["x9_contamination"].oracle
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    assert got == _canon(tuple(r) for r in con.execute(o).fetchall())
+    assert got == [(1, "data spark sql")]
+
+
+def test_lsh_bucket_driver_replica_matches_engine_on_nan(spark):
+    """_py_bucket must agree with the ENGINE's sign rule for a NaN-component
+    query: Spark's `dot > 0` is TRUE for NaN (NaN compares greatest), Python's
+    is False — the replica carries an explicit isnan branch (r13 review)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rubix_spark.ops.similarity import DIM, _lsh_bucket, _py_bucket
+
+    vec = [0.0] * DIM
+    vec[0] = float("nan")
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    engine = df.select(_lsh_bucket().alias("b")).head().b
+    assert _py_bucket(vec) == engine
+    # and a clean vector still matches (regression guard on the isnan branch)
+    clean = [float(i % 7 - 3) for i in range(DIM)]
+    df2 = spark.createDataFrame([(clean,)], "embedding array<float>")
+    assert _py_bucket(clean) == df2.select(_lsh_bucket().alias("b")).head().b

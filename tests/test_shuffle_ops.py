@@ -264,6 +264,42 @@ def test_scd2_apply(spark):
     assert rows[(2, "v1")] == (True, False)   # untouched key unchanged
 
 
+def test_scd2_null_flag_and_multi_version_chain(spark):
+    """r13 review contract pins: (a) a matched target row with is_current NULL is
+    history — kept untouched, never dropped (the old paired filters rejected NULL
+    in BOTH branches and the row vanished); (b) multiple source rows for one key
+    build the full version chain — each close-dated by the next ts, exactly one
+    current, old current closed at the key's FIRST new ts."""
+    target = spark.createDataFrame(
+        [(1, "cur", True, None), (1, "hist", None, "2020-01-01 00:00:00"), (3, "keep", None, None)],
+        "k int, attr string, is_current boolean, end_ts string",
+    ).select("k", "attr", "is_current", F.col("end_ts").cast("timestamp").alias("end_ts"))
+    source = spark.createDataFrame(
+        [(1, "v2", "2024-06-01 00:00:00"), (1, "v3", "2024-07-01 00:00:00")],
+        "k int, attr string, ts string",
+    ).select("k", "attr", F.col("ts").cast("timestamp").alias("ts"))
+    out = scd2_apply(target, source, "k", "ts")
+    rows = {(r.k, r.attr): (r.is_current, str(r.end_ts)) for r in out.collect()}
+    assert len(rows) == 5, sorted(rows)
+    assert rows[(1, "cur")] == (False, "2024-06-01 00:00:00")   # closed at FIRST new ts
+    assert rows[(1, "hist")][0] is None                          # NULL flag: untouched
+    assert rows[(1, "v2")] == (False, "2024-07-01 00:00:00")    # chained to next version
+    assert rows[(1, "v3")] == (True, "None")                     # only the last is current
+    assert rows[(3, "keep")][0] is None                          # unmatched NULL flag kept
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    import pytest as _pytest
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(5).withColumnRenamed("id", "k").withColumn("v", F.lit("x"))
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, "k", how="full")
+    with _pytest.raises(ValueError):
+        salted_join(big, small, "k", how="right")
+    assert salted_join(big, small, "k", how="left").count() == 10
+
+
 def test_aqe_splits_skewed_join(spark):
     """The OTHER skew tool SCALE.md names beside salting: AQE's runtime skew-join
     split. With thresholds lowered to test scale, a hot-key sort-merge join must show
