@@ -44,7 +44,10 @@ for rung in $RUNGS; do
   SPARK_GRAFT_DRIVER_MEM=${mem:-16g} python -u tools/gen_sf.py \
     --src $SRC --out $TD/$rung --factor $factor || exit 1
   log "BENCH $rung"
-  SPARK_GRAFT_DRIVER_MEM=${mem:-16g} SPARK_GRAFT_BENCH_SCENARIOS=$scen \
+  # env (not bare assignments): a ${gate:+...} word in an assignment prefix
+  # ends the prefix SYNTACTICALLY even when it expands to nothing, making bash
+  # exec the next assignment as a command — the empty-gate rungs never ran.
+  env SPARK_GRAFT_DRIVER_MEM=${mem:-16g} SPARK_GRAFT_BENCH_SCENARIOS=$scen \
     ${gate:+SPARK_GRAFT_BENCH_LAYOUT_TABLES=$gate} \
     SPARK_GRAFT_SF_DIR=$TD/$rung SPARK_GRAFT_BENCH_QUERIES=$Q \
     python -u bench.py || exit 1
