@@ -34,6 +34,53 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def shrink_printed_line(out: dict, priority, limit: int = 1800) -> str:
+    """Shrink the stdout JSON line to <= limit chars WITHOUT ever dropping a
+    PRIORITY query timing.
+
+    The driver keeps only the LAST 2000 chars of stdout and compares every
+    PRIORITY query's timing against the previous round; a PRIORITY key missing
+    from the printed line makes the round "regressed" regardless of speed
+    (r13: the minhash_density block's bytes pushed the line past 1800 and the
+    old trimmer deleted the 3 longest-named PRIORITY keys). Drop order:
+      1. diagnostic blocks that already live in BENCH_DETAIL.json
+         (minhash_density first, then scenario blocks largest-first),
+      2. non-PRIORITY query timings,
+      3. nothing else — if the PRIORITY timings alone don't fit, raise.
+    `out` is mutated; BENCH_DETAIL.json must be written before calling.
+    """
+    priority_set = set(priority)
+    protected = priority_set & set(out.get("queries", {}))
+
+    def line() -> str:
+        return json.dumps(out)
+
+    # 1. diagnostic/scenario blocks (all preserved in BENCH_DETAIL.json)
+    for block in ("minhash_density", "stress", "cache_slow", "cache", "concurrent", "stall"):
+        if len(line()) <= limit:
+            break
+        out.pop(block, None)
+    # 2. non-priority query timings, longest name first
+    droppable = sorted(
+        (n for n in out.get("queries", {}) if n not in priority_set), key=len, reverse=True
+    )
+    for n in droppable:
+        if len(line()) <= limit:
+            break
+        del out["queries"][n]
+    s = line()
+    if len(s) > limit:
+        raise RuntimeError(
+            f"bench stdout line cannot fit {len(protected)} PRIORITY timings in {limit} chars"
+        )
+    # contract assertions: parses, and every PRIORITY timing survived
+    parsed = json.loads(s)
+    missing = protected - set(parsed.get("queries", {}))
+    if missing:
+        raise RuntimeError(f"PRIORITY timings dropped from bench line: {sorted(missing)}")
+    return s
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):
@@ -383,20 +430,13 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(out, f, indent=1)
     # the driver keeps only the LAST 2000 chars of stdout (round 1: a 3.3 KB line with
-    # all 75 timings overflowed the window at the front and parsed as null). Shrink the
-    # printed line until it fits with margin: first drop non-priority query timings,
-    # then per-query timings entirely (suite avg and scenario blocks stay).
+    # all 75 timings overflowed the window at the front and parsed as null; round 13:
+    # the old trimmer dropped 3 PRIORITY keys to make room for minhash_density).
+    # shrink_printed_line drops diagnostic blocks and non-priority timings only, and
+    # raises rather than ever losing a PRIORITY timing from the driver's view.
     from rubix_spark.queries import PRIORITY
 
-    line = json.dumps(out)
-    if len(line) > 1800:
-        out["queries"] = {n: round(t, 3) for n, t in timings.items() if n in set(PRIORITY)}
-        line = json.dumps(out)
-    while len(line) > 1800 and out["queries"]:
-        drop = max(out["queries"], key=lambda n: len(n))
-        del out["queries"][drop]
-        line = json.dumps(out)
-    print(line)
+    print(shrink_printed_line(out, PRIORITY))
     spark.stop()
 
 
