@@ -101,6 +101,98 @@ def main() -> None:
         ).select("doc_id", "span_start", "span_end", "n_windows")
         noop(out)
 
+    def np_count_kernel(batches):
+        # partition == all occurrences of its keys (hash-partitioned on h1,h2):
+        # a within-partition count IS the global count. Buffer the partition,
+        # count via lexsort-free unique on the packed key, emit dup rows only.
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        doc = np.concatenate([p["doc_id"].to_numpy() for p in parts])
+        pos = np.concatenate([p["pos"].to_numpy() for p in parts])
+        h1 = np.concatenate([p["h1"].to_numpy() for p in parts])
+        h2 = np.concatenate([p["h2"].to_numpy() for p in parts])
+        # exact pair comparison: sort by (h1,h2) to group, then segment counts
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new = np.empty(len(h1s), dtype=bool)
+        new[0] = True
+        np.not_equal(h1s[1:], h1s[:-1], out=new[1:])
+        np.logical_or(new[1:], h2s[1:] != h2s[:-1], out=new[1:])
+        seg = np.cumsum(new) - 1
+        cnt = np.bincount(seg)
+        dup = cnt[seg] >= 2
+        keep = order[dup]
+        yield pd.DataFrame({"doc_id": doc[keep], "pos": pos[keep]})
+
+    def np_islands_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        doc = np.concatenate([p["doc_id"].to_numpy() for p in parts])
+        pos = np.concatenate([p["pos"].to_numpy() for p in parts])
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        brk = np.empty(len(doc), dtype=bool)
+        brk[0] = True
+        np.not_equal(doc[1:], doc[:-1], out=brk[1:])
+        np.logical_or(brk[1:], pos[1:] - pos[:-1] > K, out=brk[1:])
+        seg = np.cumsum(brk) - 1
+        n = seg[-1] + 1
+        starts = pos[brk]
+        ends = np.zeros(n, dtype=pos.dtype)
+        np.maximum.at(ends, seg, pos)
+        counts = np.bincount(seg)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc[brk],
+                "span_start": starts.astype("int64"),
+                "span_end": (ends + K).astype("int64"),
+                "n_windows": counts.astype("int64"),
+            }
+        )
+
+    def np_wins(narrow=True):
+        docs = catalog.table(spark, args.sf, "documents").select("doc_id", "text")
+        return docs.mapInPandas(
+            dd._substring_win_kernel, f"doc_id bigint, pos {'int' if narrow else 'long'}, sh string"
+        ).select(
+            "doc_id", "pos",
+            F.xxhash64(F.col("sh")).alias("h1"),
+            F.xxhash64(F.lit(1), F.col("sh")).alias("h2"),
+        )
+
+    def np_full():
+        wins = np_wins()
+        hits = wins.repartition("h1", "h2").mapInPandas(
+            np_count_kernel, "doc_id bigint, pos int"
+        )
+        out = hits.repartition("doc_id").mapInPandas(
+            np_islands_kernel,
+            "doc_id bigint, span_start long, span_end long, n_windows long",
+        )
+        noop(out)
+
+    def np_islands_only():
+        # engine count window + numpy islands (isolates the two replacements)
+        wins = np_wins()
+        h = (
+            wins.withColumn("c", F.count("*").over(Window.partitionBy("h1", "h2")))
+            .where(F.col("c") >= 2)
+            .select("doc_id", "pos")
+        )
+        out = h.repartition("doc_id").mapInPandas(
+            np_islands_kernel,
+            "doc_id bigint, span_start long, span_end long, n_windows long",
+        )
+        noop(out)
+
     def timed(name, fn):
         best = None
         for i in range(args.n):
@@ -112,16 +204,32 @@ def main() -> None:
         print(f"{name}: min={best:.3f}s", flush=True)
         return best
 
+    # correctness: np pipeline output must equal the registered query's rows
+    def np_full_df():
+        wins = np_wins()
+        hits_df = wins.repartition("h1", "h2").mapInPandas(np_count_kernel, "doc_id bigint, pos int")
+        return hits_df.repartition("doc_id").mapInPandas(
+            np_islands_kernel,
+            "doc_id bigint, span_start long, span_end long, n_windows long",
+        )
+
+    variants = os.environ.get(
+        "SUBSTR_VARIANTS", "kernel,hits,full,narrow_full,np_islands_only,np_full"
+    ).split(",")
+
+    if "check" in variants:
+        ref = sorted(map(tuple, reg["x1_substring_dedup"].builder(spark, args.sf).collect()))
+        got = sorted(map(tuple, np_full_df().collect()))
+        print(f"CHECK np_full rows_equal={ref == got} n={len(ref)}", flush=True)
+
     # warm the kernel path once (python workers, JIT)
     kernel()
-    k = timed("kernel", kernel)
-    h = timed("hits", hits)
-    f = timed("full", full)
-    nf = timed("narrow_full", narrow_full)
-    print(
-        f"RESULT kernel={k:.3f} count_stage={h - k:.3f} islands_stage={f - h:.3f} "
-        f"full={f:.3f} narrow_full={nf:.3f}"
-    )
+    fns = {
+        "kernel": kernel, "hits": hits, "full": full, "narrow_full": narrow_full,
+        "np_islands_only": np_islands_only, "np_full": np_full,
+    }
+    res = {v: timed(v, fns[v]) for v in variants if v in fns}
+    print("RESULT " + " ".join(f"{k}={v:.3f}" for k, v in res.items()))
 
 
 if __name__ == "__main__":
