@@ -191,6 +191,44 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
+    if os.environ.get("SEM_GATED"):
+        # canary-gated alternating A/B: keep only runs bracketed by healthy
+        # canaries (this box degrades SIMD work ~50x in bad windows — see
+        # tools/host_canary.py); stop at >=4 healthy samples per side
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from host_canary import canary, healthy
+
+        kept = {"current": [], "arrow": []}
+        fns2 = {
+            "current": lambda: noop(reg["x1_semantic_dedup_np"].builder(spark, args.sf)),
+            "arrow": lambda: noop(arrow_form()),
+        }
+        fns2["current"]()  # warm both plans once
+        fns2["arrow"]()
+        for round_i in range(20):
+            for name in ("current", "arrow"):
+                s0, c0 = canary()
+                t0 = time.time()
+                fns2[name]()
+                dt = time.time() - t0
+                s1, c1 = canary()
+                ok = healthy(s0, c0) and healthy(s1, c1)
+                print(
+                    f"  gated {name} {round_i}: {dt:.3f}s canary={s0}/{s1}ms "
+                    f"{'KEPT' if ok else 'DISCARDED'}", flush=True,
+                )
+                if ok:
+                    kept[name].append(dt)
+            if len(kept["current"]) >= 4 and len(kept["arrow"]) >= 4:
+                break
+        c = min(kept["current"]) if kept["current"] else float("nan")
+        a = min(kept["arrow"]) if kept["arrow"] else float("nan")
+        print(
+            f"RESULT gated current={c:.3f} arrow={a:.3f} "
+            f"kept={len(kept['current'])}/{len(kept['arrow'])}"
+        )
+        return
+
     cur = timed("current", lambda: noop(reg["x1_semantic_dedup_np"].builder(spark, args.sf)))
     arw = timed("arrow", lambda: noop(arrow_form()))
     cur2 = timed("current2", lambda: noop(reg["x1_semantic_dedup_np"].builder(spark, args.sf)))
