@@ -460,8 +460,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("s") >= 0.4).select("vec_a", "vec_b", round_det(F.col("s"), 4).alias("sim"))
 
 
-def _neardup_block(pdf):
-    """Per-block numpy kernel: normalize rows, one matmul, emit pairs over threshold.
+def _neardup_block(tbl):
+    """Per-block Arrow kernel: normalize rows, one matmul, emit pairs over threshold.
 
     Degradation == the exact HOF variant (r13 review, via ``_sem_split``): NULL/
     off-width rows score NULL -> no pair; NaN-component pairs score NaN, which
@@ -469,14 +469,14 @@ def _neardup_block(pdf):
     with a NaN sim (numpy's floor chain keeps NaN, matching round_det's NaN
     passthrough)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    m, ids_ok, _ = _sem_split(pdf)
+    m, ids_ok, _, _ = _sem_split(tbl)
     if m is None or len(ids_ok) < 2:
-        return pd.DataFrame({
-            "vec_a": pd.array([], dtype="int64"),
-            "vec_b": pd.array([], dtype="int64"),
-            "sim": pd.array([], dtype="float64"),
+        return pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
         })
     sims = m @ m.T
     ii, jj = np.triu_indices(len(ids_ok), k=1)
@@ -485,8 +485,12 @@ def _neardup_block(pdf):
     # rows arrive in arbitrary partition order — canonicalize each pair as (lo, hi)
     a, b = ids_ok[ii[mask]], ids_ok[jj[mask]]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
-    return pd.DataFrame(
-        {"vec_a": lo, "vec_b": hi, "sim": np.floor(s[mask] * 10000 + 0.5) / 10000.0}
+    return pa.table(
+        {
+            "vec_a": pa.array(lo, pa.int64()),
+            "vec_b": pa.array(hi, pa.int64()),
+            "sim": pa.array(np.floor(s[mask] * 10000 + 0.5) / 10000.0, pa.float64()),
+        }
     )
 
 
@@ -495,7 +499,7 @@ def _neardup_block(pdf):
     None,  # rows-only: BLAS matmul sums in SIMD order — last-ulp diff vs the sequential oracle
     doc=(
         "Vectorized scale path for embedding near-dup: per-block numpy matmul inside "
-        "applyInPandas (one Arrow batch per block, BLAS O(n²d) in C) — ~10-100× the "
+        "applyInArrow (zero-copy tile gather off the Arrow values buffer, BLAS O(n²d) in C) — ~10-100× the "
         "interpreted higher-order-function fold. Rows-only gate because BLAS summation "
         "order differs from the sequential oracle in the last ulp; the HOF variant "
         "(x1_embedding_neardup) carries the exact-match proof."
@@ -506,7 +510,7 @@ def embedding_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("vec_id", "label", "embedding")
         .groupBy("label")
-        .applyInPandas(_neardup_block, schema="vec_a bigint, vec_b bigint, sim double")
+        .applyInArrow(_neardup_block, schema="vec_a bigint, vec_b bigint, sim double")
     )
 
 
@@ -886,70 +890,92 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sem_split(rows):
-    """(normalized matrix | None, ok ids, degraded ids) for one kernel input.
+def _sem_split(tbl):
+    """(normalized matrix | None, ok ids, all ids, ok mask) for one Arrow tile.
+
+    Round-14: Arrow form (guide §4.2) — the pandas predecessor paid a per-cell
+    ``.tolist()`` + np.array(list-of-lists) per tile; this gathers the tile
+    matrix straight off the ListArray's contiguous values buffer with one
+    fancy-index (sf1 −12%, sf10 −21% min-of-canary-gated-runs; kept-set
+    equality pinned at both SFs).
 
     Degradation contract == the exact SQL twin (r13 review; the ADVICE-r12 ANN
     degradation applied here too): a NULL or off-width embedding scores NULL
     against everything (zip_with pads NULL -> fold NULL), so it is never dropped
     and can never drop others — such rows leave the matrix entirely and come
-    back kept. NaN COMPONENTS (correct width) stay IN the matrix: both engines
-    evaluate the pair's NaN score >= tau as TRUE (verified; NaN compares
-    greatest in Spark and DuckDB), so the numpy mask must OR in isnan. Zero
-    norms normalize against 1.0 (sims 0, kept) exactly like the NULLIF guard."""
+    back kept. NaN COMPONENTS (correct width) stay IN the matrix — and NULL
+    elements arrive as NaN exactly as Arrow→pandas delivered them (to_numpy
+    with zero_copy_only=False fills nulls with NaN): both engines evaluate the
+    pair's NaN score >= tau as TRUE (verified; NaN compares greatest in Spark
+    and DuckDB), so the numpy mask ORs in isnan. Zero norms normalize against
+    1.0 (sims 0, kept) exactly like the NULLIF guard."""
     import numpy as np
 
-    vals = rows["embedding"].tolist()
-    ids = rows["vec_id"].to_numpy()
-    lens = np.array([len(v) if v is not None else -1 for v in vals], dtype=np.int64)
+    emb = tbl.column("embedding").combine_chunks()
+    ids = tbl.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(emb)
+    # offsets are absolute into the (possibly shared, unsliced) child values
+    # array — the fancy-index below must use them as-is, never rebased
+    offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    if emb.null_count:
+        valid = emb.is_valid().to_numpy(zero_copy_only=False)
+        lens = np.where(valid, lens, -1)
     good = lens[lens >= 0]
     if not len(good):
-        return None, ids[:0], ids
+        return None, ids[:0], ids, np.zeros(n, dtype=bool)
     width = int(np.bincount(good).argmax())
     ok = lens == width
-    m = np.array([vals[i] for i in np.nonzero(ok)[0]], dtype=np.float64)
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    return m / np.where(n == 0, 1.0, n), ids[ok], ids[~ok]
+    flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    m = flat[offs[:-1][ok][:, None] + np.arange(width)[None, :]] if width else (
+        np.zeros((int(ok.sum()), 0))
+    )
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(nrm == 0, 1.0, nrm), ids[ok], ids, ok
 
 
-def _sem_block(pdf):
-    """Per-cluster numpy kernel (the nb == 1 branch): normalize, one matmul, drop
+def _sem_block(tbl):
+    """Per-cluster Arrow kernel (the nb == 1 branch): normalize, one matmul, drop
     the higher vec_id of any pair over SEM_TAU; emit every row with its kept flag.
     Used when every cluster fits one tile — no replication, no attach join."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    m, ids_ok, _ = _sem_split(pdf)
-    ids = pdf["vec_id"].to_numpy()
-    dropped: set = set()
+    m, ids_ok, ids, _ = _sem_split(tbl)
+    kept = np.ones(len(ids), dtype=np.int32)
     if m is not None and len(ids_ok) >= 2:
         sims = m @ m.T
         ii, jj = np.triu_indices(len(ids_ok), k=1)
         s = sims[ii, jj]
         mask = (s >= SEM_TAU) | np.isnan(s)
-        dropped = set(np.maximum(ids_ok[ii[mask]], ids_ok[jj[mask]]).tolist())
-    return pd.DataFrame(
+        dropped = np.unique(np.maximum(ids_ok[ii[mask]], ids_ok[jj[mask]]))
+        kept[np.isin(ids, dropped)] = 0
+    cid = tbl.column("cid").combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table(
         {
-            "vec_id": ids,
-            "cid": pdf["cid"].to_numpy(),
-            "kept": np.array([0 if i in dropped else 1 for i in ids], dtype=np.int32),
+            "vec_id": pa.array(ids, pa.int64()),
+            "cid": pa.array(cid, pa.int64()),
+            "kept": pa.array(kept, pa.int32()),
         }
     )
 
 
-def _sem_tile(pdf):
-    """Per-TILE numpy kernel: rows arrive tagged side 0 (row block ti) / side 1
+def _sem_tile(tbl):
+    """Per-TILE Arrow kernel: rows arrive tagged side 0 (row block ti) / side 1
     (column block tj); normalize each side, one rectangular matmul, emit the
     DROPPED ids (max vec_id of any pair >= SEM_TAU). Diagonal tiles (ti == tj)
     use the side-0 rows with a triangular mask."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    empty = pd.DataFrame({"vec_id": pd.array([], dtype="int64")})
-    diag = pdf["ti"].iat[0] == pdf["tj"].iat[0]
+    empty = pa.table({"vec_id": pa.array([], pa.int64())})
+    diag = tbl.column("ti")[0].as_py() == tbl.column("tj")[0].as_py()
+    side = tbl.column("side").combine_chunks().to_numpy(zero_copy_only=False)
     if diag:
-        a = pdf[pdf["side"] == 0]
-        m, ids, _ = _sem_split(a) if len(a) else (None, None, None)
+        a = tbl.filter(pa.array(side == 0))
+        if not len(a):
+            return empty
+        m, ids, _, _ = _sem_split(a)
         if m is None or len(ids) < 2:
             return empty
         ii, jj = np.triu_indices(len(ids), k=1)
@@ -957,17 +983,17 @@ def _sem_tile(pdf):
         mask = (s >= SEM_TAU) | np.isnan(s)
         dropped = np.maximum(ids[ii[mask]], ids[jj[mask]])
     else:
-        a, b = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        a, b = tbl.filter(pa.array(side == 0)), tbl.filter(pa.array(side == 1))
         if not (len(a) and len(b)):
             return empty
-        ma, ida, _ = _sem_split(a)
-        mb, idb, _ = _sem_split(b)
+        ma, ida, _, _ = _sem_split(a)
+        mb, idb, _, _ = _sem_split(b)
         if ma is None or mb is None or not (len(ida) and len(idb)):
             return empty
         s = ma @ mb.T
         ii, jj = np.nonzero((s >= SEM_TAU) | np.isnan(s))
         dropped = np.maximum(ida[ii], idb[jj])
-    return pd.DataFrame({"vec_id": pd.unique(dropped).astype("int64")})
+    return pa.table({"vec_id": pa.array(np.unique(dropped), pa.int64())})
 
 
 @register(
@@ -1008,7 +1034,7 @@ def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         # flags in place — no replication explode, no attach join (sf1: 0.86 vs
         # 1.37 s for the general path; the tiles only pay off once clusters
         # outgrow a single task's matmul)
-        return assign.groupBy("cid").applyInPandas(
+        return assign.groupBy("cid").applyInArrow(
             _sem_block, schema="vec_id bigint, cid bigint, kept int"
         )
     rows = assign.withColumn(
@@ -1029,7 +1055,7 @@ def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         left.unionByName(right)
         .groupBy("cid", "ti", "tj")
-        .applyInPandas(_sem_tile, schema="vec_id bigint")
+        .applyInArrow(_sem_tile, schema="vec_id bigint")
         .distinct()
     )
     return assign.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left").select(
