@@ -1248,17 +1248,22 @@ _SUBSTR_K = 8  # window tokens: every duplicated run of >= K tokens contains >= 
 def _substring_win_kernel(batches):
     """Stage-1 Arrow kernel shared by the graded builder and the stage-2 A/B
     harness (tools/proto_substring_stage2.py): tokenize, stride-1 K-token windows
-    over the flat token buffer, emit (doc_id, pos, sh)."""
+    over the flat token buffer, emit (doc_id, pos, sh).
+
+    mapInArrow form (round-14, the r7 x3_quality lesson): the text AND the
+    window strings stay Arrow arrays end-to-end — the old mapInPandas wrapper
+    materialized every window string as a Python object
+    (``sh_all.to_numpy(zero_copy_only=False)[valid]``) just to hand it back to
+    Arrow; ``sh_all.take(...)`` keeps them in the string buffer."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
     K = _SUBSTR_K
-    for pdf in batches:
-        if not len(pdf):
+    for batch in batches:
+        if not batch.num_rows:
             continue
-        text = pa.array(pdf["text"], pa.string())
+        text = batch.column("text")
         norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
         norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(norm, " +", " "))
         toks = pc.split_pattern(norm, " ")
@@ -1275,13 +1280,14 @@ def _substring_win_kernel(batches):
         valid = idx <= offs[doc_of + 1] - K  # window must not cross its doc's end
         if not valid.any():
             continue
-        yield pd.DataFrame(
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        yield pa.record_batch(
             {
-                "doc_id": pdf["doc_id"].to_numpy()[doc_of[valid]],
-                "pos": (idx - offs[doc_of])[valid],
-                "sh": sh_all.to_numpy(zero_copy_only=False)[valid],
+                "doc_id": pa.array(doc_ids[doc_of[valid]], pa.int64()),
+                "pos": pa.array((idx - offs[doc_of])[valid], pa.int64()),
+                "sh": sh_all.take(pa.array(np.flatnonzero(valid))),
             }
-        )
+        ).cast(pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()), ("sh", pa.string())]))
 
 
 def _substring_wins_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,7 +1295,7 @@ def _substring_wins_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow kernel plus the independently-seeded xxhash64 pair projection (r11:
     h2 salts FIRST, so the pair is an effective 128-bit key in 16 bytes)."""
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(
+    return docs.mapInArrow(
         _substring_win_kernel, "doc_id bigint, pos long, sh string"
     ).select(
         "doc_id", "pos",

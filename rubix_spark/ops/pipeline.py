@@ -265,32 +265,39 @@ def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases = list(BLOCKLIST)
 
     def screen(batches):
-        import pandas as pd
+        # mapInArrow (round-14): corpus text never crosses into pandas; hits are
+        # tiny, so per-phrase Python assembly of the output stays
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            text = pa.array(pdf["text"], pa.string())
+            text = batch.column("text")
             norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
             norm = pc.replace_substring_regex(norm, " +", " ")
             padded = pc.binary_join_element_wise(pa.scalar(" "), norm, pa.scalar(" "), "")
-            ids = pdf["doc_id"].to_numpy()
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             out_ids, out_ph = [], []
             for p in phrases:
                 # NULL text propagates a null match — fill to False BEFORE numpy:
-                # an object-dtype [True, None] mask cannot index ids (IndexError
-                # killed the whole query where the oracle returns no row — r13
-                # review; same contract as SQL LIKE on NULL)
+                # a null-bearing mask cannot index ids (IndexError killed the
+                # whole query where the oracle returns no row — r13 review; same
+                # contract as SQL LIKE on NULL)
                 mask = pc.fill_null(pc.match_substring(padded, f" {p} "), False)
                 hit = ids[mask.to_numpy(zero_copy_only=False)]
                 out_ids.extend(hit.tolist())
                 out_ph.extend([p] * len(hit))
             if out_ids:
-                yield pd.DataFrame({"doc_id": out_ids, "phrase": out_ph})
+                yield pa.record_batch(
+                    {
+                        "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64), pa.int64()),
+                        "phrase": pa.array(out_ph, pa.string()),
+                    }
+                )
 
-    return docs.mapInPandas(screen, "doc_id bigint, phrase string")
+    return docs.mapInArrow(screen, "doc_id bigint, phrase string")
 
 
 @register(
@@ -308,16 +315,16 @@ def x9_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents").select("text")
 
     def counts(batches):
+        # mapInArrow (round-14): corpus text never crosses into pandas
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            n = pc.count_substring_regex(pa.Array.from_pandas(pdf["text"]), "[A-Za-z0-9]+")
-            out = pdf[[]].copy()
-            out["n_tok"] = n.to_pandas()
-            yield out
+        for batch in batches:
+            yield pa.record_batch(
+                {"n_tok": pc.count_substring_regex(batch.column("text"), "[A-Za-z0-9]+")}
+            ).cast(pa.schema([("n_tok", pa.int32())]))
 
-    t = docs.mapInPandas(counts, "n_tok int")
+    t = docs.mapInArrow(counts, "n_tok int")
     bucket = (F.col("n_tok") / HIST_WIDTH).cast("int") * HIST_WIDTH
     return t.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("docs"))
 
@@ -412,20 +419,36 @@ def x9_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def per_doc(batches):
+        # mapInArrow (round-14): no per-batch pandas frame; NULL-text ratio is
+        # filled to NaN to match the old pandas NaN/NaN arithmetic exactly.
+        # The final cast pins the declared output types — unlike the pandas
+        # path, Arrow batches are NOT coerced by Spark, and a fixture whose
+        # physical ints are 32-bit would otherwise crash the columnar reader.
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            text = pa.Array.from_pandas(pdf["text"])
-            out = pdf[["doc_id", "lang", "n_chars", "th"]].copy()
-            out["n_tok"] = pc.count_substring_regex(text, "[A-Za-z0-9]+").to_pandas()
-            out["punct_ratio"] = (
-                pc.count_substring_regex(text, "[^a-z0-9 ]").to_pandas()
-                / pc.utf8_length(text).to_pandas()
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64()),
+             ("th", pa.string()), ("n_tok", pa.int32()), ("punct_ratio", pa.float64())]
+        )
+        for batch in batches:
+            text = batch.column("text")
+            ratio = pc.divide(
+                pc.cast(pc.count_substring_regex(text, "[^a-z0-9 ]"), pa.float64()),
+                pc.cast(pc.utf8_length(text), pa.float64()),
             )
-            yield out
+            yield pa.record_batch(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "lang": batch.column("lang"),
+                    "n_chars": batch.column("n_chars"),
+                    "th": batch.column("th"),
+                    "n_tok": pc.count_substring_regex(text, "[A-Za-z0-9]+"),
+                    "punct_ratio": pc.fill_null(ratio, float("nan")),
+                }
+            ).cast(out_schema)
 
-    q = docs.mapInPandas(
+    q = docs.mapInArrow(
         per_doc,
         "doc_id bigint, lang string, n_chars bigint, th string, n_tok int, punct_ratio double",
     )
@@ -792,20 +815,31 @@ def x9_e2e_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def per_doc(batches):
+        # mapInArrow (round-14): same conversion as x9_e2e_pipeline's kernel,
+        # including the declared-type cast (Arrow batches are not coerced)
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            text = pa.Array.from_pandas(pdf["text"])
-            out = pdf[["doc_id", "th"]].copy()
-            out["n_tok"] = pc.count_substring_regex(text, "[A-Za-z0-9]+").to_pandas()
-            out["punct_ratio"] = (
-                pc.count_substring_regex(text, "[^a-z0-9 ]").to_pandas()
-                / pc.utf8_length(text).to_pandas()
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("th", pa.string()),
+             ("n_tok", pa.int32()), ("punct_ratio", pa.float64())]
+        )
+        for batch in batches:
+            text = batch.column("text")
+            ratio = pc.divide(
+                pc.cast(pc.count_substring_regex(text, "[^a-z0-9 ]"), pa.float64()),
+                pc.cast(pc.utf8_length(text), pa.float64()),
             )
-            yield out
+            yield pa.record_batch(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "th": batch.column("th"),
+                    "n_tok": pc.count_substring_regex(text, "[A-Za-z0-9]+"),
+                    "punct_ratio": pc.fill_null(ratio, float("nan")),
+                }
+            ).cast(out_schema)
 
-    q = docs.mapInPandas(per_doc, "doc_id bigint, th string, n_tok int, punct_ratio double")
+    q = docs.mapInArrow(per_doc, "doc_id bigint, th string, n_tok int, punct_ratio double")
     f = q.where((F.col("n_tok") >= 5) & (F.col("punct_ratio") <= 0.4))
     keep = F.row_number().over(Window.partitionBy("th").orderBy("doc_id")) == 1
     d = f.select("doc_id", "n_tok", keep.alias("_keep")).where("_keep")

@@ -64,19 +64,22 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents").select("text")
 
     def partial_counts(batches):
+        # mapInArrow (round-14): vocabulary strings stay Arrow end-to-end
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            text = pa.Array.from_pandas(pdf["text"])
+        for batch in batches:
+            text = batch.column("text")
             norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
             toks = pc.split_pattern(norm, " ").flatten()
             counts = pc.value_counts(toks)
-            out = counts.field("values").to_pandas().to_frame("tok")
-            out["cnt"] = counts.field("counts").to_pandas()
-            yield out[out["tok"] != ""]
+            toks_u, cnt = counts.field("values"), counts.field("counts")
+            keep = pc.not_equal(toks_u, "")
+            yield pa.record_batch(
+                {"tok": toks_u.filter(keep), "cnt": cnt.filter(keep)}
+            ).cast(pa.schema([("tok", pa.string()), ("cnt", pa.int64())]))
 
-    partial = docs.mapInPandas(partial_counts, "tok string, cnt long")
+    partial = docs.mapInArrow(partial_counts, "tok string, cnt long")
     return (
         partial.groupBy("tok")
         .agg(F.sum("cnt").alias("cnt"))
@@ -101,21 +104,30 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def counts(batches):
+        # mapInArrow (round-14): all outputs are numeric Arrow arrays — no
+        # pandas frame construction per batch
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            text = pa.Array.from_pandas(pdf["text"])
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("ws_tokens", pa.int32()),
+             ("bpeish_tokens", pa.int32()), ("n_chars_m", pa.int32())]
+        )
+        for batch in batches:
+            text = batch.column("text")
             low = pc.utf8_lower(text)
-            out = pdf[["doc_id"]].copy()
-            out["ws_tokens"] = pc.count_substring_regex(text, "[A-Za-z0-9]+").to_pandas()
-            out["bpeish_tokens"] = pc.count_substring_regex(
-                low, r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-            ).to_pandas()
-            out["n_chars_m"] = pc.utf8_length(text).to_pandas()
-            yield out
+            yield pa.record_batch(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "ws_tokens": pc.count_substring_regex(text, "[A-Za-z0-9]+"),
+                    "bpeish_tokens": pc.count_substring_regex(
+                        low, r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+                    ),
+                    "n_chars_m": pc.utf8_length(text),
+                }
+            ).cast(out_schema)
 
-    return docs.mapInPandas(
+    return docs.mapInArrow(
         counts, "doc_id bigint, ws_tokens int, bpeish_tokens int, n_chars_m int"
     )
 
@@ -293,15 +305,16 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def shingle_kernel(batches):
+        # mapInArrow (round-14): text and shingle strings stay Arrow end-to-end;
+        # the old pandas wrapper materialized every shingle as a Python object
         import numpy as np
-        import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            text = pa.array(pdf["text"], pa.string())
+            text = batch.column("text")
             norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
             # collapse+trim so split yields NO empty tokens (an empty-norm doc yields
             # one '' token, excluded below by the >=3-token shingle bound)
@@ -318,13 +331,17 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx = np.arange(n - 2)
             doc_of = np.searchsorted(offs, idx, side="right") - 1
             valid = idx <= offs[doc_of + 1] - 3  # shingle must not cross its doc's end
-            ids = pdf["doc_id"].to_numpy()[doc_of[valid]]
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            ids = doc_ids[doc_of[valid]]
             if len(ids):
-                yield pd.DataFrame(
-                    {"doc_id": ids, "sh": sh_all.to_numpy(zero_copy_only=False)[valid]}
-                )
+                yield pa.record_batch(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "sh": sh_all.take(pa.array(np.flatnonzero(valid))),
+                    }
+                ).cast(pa.schema([("doc_id", pa.int64()), ("sh", pa.string())]))
 
-    sh = docs.mapInPandas(shingle_kernel, "doc_id bigint, sh string")
+    sh = docs.mapInArrow(shingle_kernel, "doc_id bigint, sh string")
     return sh.groupBy("doc_id").agg(F.min(F.md5(F.encode(F.col("sh"), "utf-8"))).alias("fp"))
 
 
@@ -406,29 +423,35 @@ def keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs never span batches, so the per-batch (doc_id, tok) counts are FINAL — the
     # plan shuffles tf rows only for the window/df, never corpus×tokens exploded rows
     def tf_rows(batches):
+        # mapInArrow (round-14): token strings stay Arrow through the C++
+        # group_by and back out — the .to_pandas() hop materialized every
+        # (doc_id, tok) row as Python objects just to re-encode them
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for pdf in batches:
-            text = pa.Array.from_pandas(pdf["text"])
+        for batch in batches:
+            text = batch.column("text")
             norm = pc.utf8_lower(pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", " "))
             lists = pc.split_pattern(norm, " ")
             idx = pc.list_parent_indices(lists)
             flat = lists.flatten()
             keep = pc.not_equal(flat, "")
-            doc_ids = pa.Array.from_pandas(pdf["doc_id"]).take(idx).filter(keep)
+            doc_ids = batch.column("doc_id").take(idx).filter(keep)
             toks_arr = flat.filter(keep)
             agg = (
                 pa.table({"doc_id": doc_ids, "tok": toks_arr})
                 .group_by(["doc_id", "tok"])
                 .aggregate([("tok", "count")])
             )
-            yield agg.rename_columns(["doc_id", "tok", "tf"]).to_pandas()
+            out = agg.rename_columns(["doc_id", "tok", "tf"]).cast(
+                pa.schema([("doc_id", pa.int64()), ("tok", pa.string()), ("tf", pa.int64())])
+            )
+            yield from out.to_batches()
 
     # tf feeds BOTH the df census and the join — checkpoint it so the Arrow pass runs
     # once, and derive df as COUNT(*) over tf rows (one row per (doc_id, tok) ⇒
     # identical to COUNT(DISTINCT doc_id), without the distinct pass)
-    tf = docs.mapInPandas(tf_rows, "doc_id bigint, tok string, tf long").localCheckpoint(eager=True)
+    tf = docs.mapInArrow(tf_rows, "doc_id bigint, tok string, tf long").localCheckpoint(eager=True)
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = tf.join(df, "tok").select(
         "doc_id", "tok", (F.col("tf").cast("double") / F.col("df")).alias("score")

@@ -57,16 +57,36 @@ def main() -> None:
     if args.analyze:
         catalog.analyze(spark, args.sf, route=True)
 
+    gated = os.environ.get("RUBIX_TIME_GATED") == "1"
+    if gated:
+        # r14 protocol: bracket every timed run with the host canary and discard
+        # runs in degraded windows (this VM slows SIMD work up to ~50x — see
+        # tools/host_canary.py); keep sampling until --n healthy runs per query
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from host_canary import canary, healthy
+
     for name in args.names:
         q = reg[name]
         # warmup (plan caches, JIT)
         q.builder(spark, args.sf).write.format("noop").mode("overwrite").save()
         samples = []
-        for _ in range(args.n):
+        discarded = 0
+        attempts = 0
+        while len(samples) < args.n and attempts < 4 * args.n:
+            attempts += 1
+            if gated:
+                s0, c0 = canary()
             t0 = time.perf_counter()
             q.builder(spark, args.sf).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        print(f"{name}: min={min(samples):.3f}s  samples={[round(s, 3) for s in samples]}")
+            dt = time.perf_counter() - t0
+            if gated:
+                s1, c1 = canary()
+                if not (healthy(s0, c0) and healthy(s1, c1)):
+                    discarded += 1
+                    continue
+            samples.append(dt)
+        tag = f"  discarded={discarded}" if gated else ""
+        print(f"{name}: min={min(samples):.3f}s  samples={[round(s, 3) for s in samples]}{tag}")
 
 
 if __name__ == "__main__":
