@@ -219,7 +219,8 @@ def _canon(rows):
     "x3_keywords", "x9_chunk", "x9_sample_strata", "x9_contamination",
     "x9_pii_redact", "x9_token_hist", "x9_boilerplate", "x9_train_test",
     "x9_pack", "x9_mixture", "x5_multimodal_meta", "x5_multimodal_decode",
-    "x5_frame_sample", "x5_resize", "x4_udtf_explode", "x9_e2e_pipeline",
+    "x5_frame_sample", "x5_resize", "x5_multimodal_meta_kernel",
+    "x5_multimodal_decode_kernel", "x5_frame_sample_kernel", "x5_resize_kernel", "x4_udtf_explode", "x9_e2e_pipeline",
     "x9_e2e_shards", "x1_incremental_neardup_persisted",
 ])
 def test_text_ops_match_oracle_on_adversarial_text(spark, adversarial_docs_dir, name):
