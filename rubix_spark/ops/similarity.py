@@ -274,8 +274,9 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x2_ann_bruteforce_np",
     None,  # rows-only: BLAS matmul sums in SIMD order — last-ulp diff vs the sequential oracle
     doc=(
-        "Vectorized scale path for exact top-k: mapInPandas numpy kernel scores each "
-        "Arrow batch with one matvec (BLAS, C loop) and keeps a per-partition top-k "
+        "Vectorized scale path for exact top-k: mapInArrow numpy kernel scores each "
+        "Arrow batch with one matvec (BLAS, C loop; zero-copy gather off the "
+        "ListArray values buffer) and keeps a per-partition top-k "
         "heap, so the driver-side merge sees only k rows per partition — the same "
         "economics as TakeOrderedAndProject but ~10-100x the interpreted HOF fold of "
         "x2_ann_bruteforce, which remains the oracle-exact proof. Rows-only gate "
@@ -295,7 +296,7 @@ def ann_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topk_partition(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         def rank(s):
             # the engines rank NaN sims FIRST under DESC (NaN compares greatest in
@@ -305,32 +306,43 @@ def ann_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = len(qn)
         ids = np.empty(0, dtype=np.int64)
         sims = np.empty(0, dtype=np.float64)
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            col = b.column("embedding")
+            if len(col) == 0:
                 continue
             # degrade NULL/off-width rows out of the candidate set exactly like
-            # the exact kernel (their fold sim is NULL -> never in the top-k);
-            # np.stack on a ragged/None column CRASHED instead (r13 review)
-            vals = pdf["embedding"].tolist()
-            ok = np.array([v is not None and len(v) == d for v in vals])
+            # the exact kernel (their fold sim is NULL -> never in the top-k).
+            # mapInArrow (round-14): the tile matrix gathers straight off the
+            # ListArray's contiguous values buffer (offsets are absolute into the
+            # shared child array); NULL elements arrive as NaN (to_numpy null
+            # fill) and rank first like every NaN sim.
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = np.diff(offs) == d
+            if col.null_count:
+                ok &= col.is_valid().to_numpy(zero_copy_only=False)
             if not ok.any():
                 continue
-            m = np.array([vals[i] for i in np.nonzero(ok)[0]], dtype=np.float64)
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            m = flat[offs[:-1][ok][:, None] + np.arange(d)[None, :]]
             nrm = np.linalg.norm(m, axis=1)
             s = (m @ qn) / np.where(nrm == 0.0, 1.0, nrm)
-            ids = np.concatenate([ids, pdf["vec_id"].to_numpy()[ok]])
+            ids = np.concatenate(
+                [ids, b.column("vec_id").to_numpy(zero_copy_only=False)[ok]]
+            )
             sims = np.concatenate([sims, s])
             if len(ids) > 8 * k:  # cap scratch: re-prune between batches
                 order = np.lexsort((ids, rank(sims)))[:k]
                 ids, sims = ids[order], sims[order]
         if len(ids):
             order = np.lexsort((ids, rank(sims)))[:k]
-            yield pd.DataFrame(
-                {"vec_id": ids[order],
-                 "sim": np.floor(sims[order] * 10000 + 0.5) / 10000.0}
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(ids[order], pa.int64()),
+                    "sim": pa.array(np.floor(sims[order] * 10000 + 0.5) / 10000.0, pa.float64()),
+                }
             )
 
-    part = emb.mapInPandas(topk_partition, "vec_id bigint, sim double")
+    part = emb.mapInArrow(topk_partition, "vec_id bigint, sim double")
     return part.orderBy(F.col("sim").desc(), "vec_id").limit(k)
 
 
@@ -1071,7 +1083,6 @@ def _pq_train(emb: DataFrame, memo_key: str | None = None):
 )
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
-    import pandas as pd
 
     emb = catalog.table(spark, sf_dir, "embeddings")
     # coarse stage: the TRAINED codebook (shared offline artifact with
@@ -1089,11 +1100,27 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC tables: lut[m][j] = dot(q_m, codebook[m][j]) -> approx dot(q, x) = sum of lookups
     lut = np.einsum("mkd,md->mk", books, qe.reshape(PQ_M, dsub))
 
+    d_full = PQ_M * dsub
+
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        for b in batches:
+            col = b.column("embedding")
+            n = len(col)
+            if n == 0:
                 continue
-            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # mapInArrow (round-14): zero-copy gather off the ListArray values
+            # buffer (offsets absolute); off-width/NULL rows leave the candidate
+            # set (the pandas form crashed on them instead)
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = np.diff(offs) == d_full
+            if col.null_count:
+                ok &= col.is_valid().to_numpy(zero_copy_only=False)
+            if not ok.any():
+                continue
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            x = flat[offs[:-1][ok][:, None] + np.arange(d_full)[None, :]]
             n = len(x)
             codes = np.empty((n, PQ_M), dtype=np.uint8)
             for m in range(PQ_M):
@@ -1103,13 +1130,20 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             approx = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
             # per-partition candidate cut: only the local top keeps flowing
             keep = np.argsort(-approx)[:PQ_RERANK]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()[keep], "approx": approx[keep]})
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(
+                        b.column("vec_id").to_numpy(zero_copy_only=False)[ok][keep], pa.int64()
+                    ),
+                    "approx": pa.array(approx[keep], pa.float64()),
+                }
+            )
 
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cid")
     cand = (
         assigned.where(F.col("cid").isin([int(c) for c in probe]))
         .select("vec_id", "embedding")
-        .mapInPandas(score, schema="vec_id bigint, approx double")
+        .mapInArrow(score, schema="vec_id bigint, approx double")
         .orderBy(F.col("approx").desc(), "vec_id")
         .limit(PQ_RERANK)
     )
