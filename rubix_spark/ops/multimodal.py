@@ -53,13 +53,20 @@ def decode_payload(payload: bytes, fake: bool = True) -> tuple[int, int, int]:
 
 
 def _payload_np(batch, col: str = "payload"):
-    """(arr, absolute offsets int64, data uint8) for the batch's BinaryArray —
-    zero-copy, slice-offset-safe (offsets are absolute into the shared data buffer)."""
+    """(arr, absolute offsets int64, data uint8) for the batch's Binary/LargeBinary
+    array — zero-copy, slice-offset-safe (offsets are absolute into the shared data
+    buffer). Offset width follows the array type (binary=int32, large_binary=int64 —
+    a caller session may set arrow.useLargeVarTypes); a zero-length array may carry
+    a None offsets buffer."""
     import numpy as np
+    import pyarrow as pa
 
     arr = batch.column(col)
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    if bufs[1] is None:  # zero-length array: no offsets buffer at all
+        return arr, np.zeros(1, np.int64), np.empty(0, np.uint8)
+    odt = np.int64 if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     return arr, offs, data
 
@@ -199,11 +206,17 @@ def _jvm_dims(df: DataFrame) -> DataFrame:
 
 _DECODE_ORACLE = """
     SELECT doc_id,
-           CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS INT) AS width,
-           CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS INT) AS height,
-           3 AS channels
+           CAST(CAST('0x' || substr(md5(text), 1, 4) AS INT) % 1920 + 1 AS INT) AS width,
+           CAST(CAST('0x' || substr(md5(text), 5, 4) AS INT) % 1080 + 1 AS INT) AS height,
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 3 END AS INT) AS channels
     FROM documents
     """
+# NULL-payload contract (r14 close, NULL-path-only — fixtures carry no NULL text so
+# declared results are unchanged): every derived column degrades to NULL, matching
+# the Arrow kernels' mask. The old concat('0x', ...) CRASHED on NULL text (DuckDB
+# concat SKIPS NULLs -> CAST('0x' AS INT) conversion error) and the JVM body's
+# lit(3) channels diverged from the kernel's NULL. `||` propagates NULL without a
+# CASE around md5 (a CASE wrap blocked DuckDB's md5 CSE: +40% measured at sf10).
 
 
 @register(
@@ -217,7 +230,11 @@ _DECODE_ORACLE = """
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jvm_dims(_payloads(spark, sf_dir)).select(
-        "doc_id", "width", "height", F.lit(3).alias("channels")
+        "doc_id",
+        "width",
+        "height",
+        # width is NULL iff payload is NULL; channels follows the NULL contract
+        F.when(F.col("width").isNotNull(), F.lit(3)).cast("int").alias("channels"),
     )
 
 
@@ -350,15 +367,19 @@ def resize_plan(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
 _RESIZE_ORACLE = f"""
     WITH d AS (
         SELECT doc_id,
-               CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS INT) AS width,
-               CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS INT) AS height
+               CAST(CAST('0x' || substr(md5(text), 1, 4) AS INT) % 1920 + 1 AS INT) AS width,
+               CAST(CAST('0x' || substr(md5(text), 5, 4) AS INT) % 1080 + 1 AS INT) AS height
         FROM documents
     )
     SELECT doc_id, width, height,
-           CAST(GREATEST(FLOOR(width * LEAST({TARGET_EDGE}.0 / GREATEST(width, height), 1.0)), 1) AS INT) AS rw,
-           CAST(GREATEST(FLOOR(height * LEAST({TARGET_EDGE}.0 / GREATEST(width, height), 1.0)), 1) AS INT) AS rh
+           CAST(CASE WHEN width IS NULL THEN NULL
+                ELSE GREATEST(FLOOR(width * LEAST({TARGET_EDGE}.0 / GREATEST(width, height), 1.0)), 1) END AS INT) AS rw,
+           CAST(CASE WHEN width IS NULL THEN NULL
+                ELSE GREATEST(FLOOR(height * LEAST({TARGET_EDGE}.0 / GREATEST(width, height), 1.0)), 1) END AS INT) AS rh
     FROM d
     """
+# Same NULL contract as _DECODE_ORACLE: unguarded, GREATEST's NULL-skip yielded 1
+# for NULL payloads in both engines while the kernel yields NULL.
 
 
 @register(
@@ -374,12 +395,13 @@ _RESIZE_ORACLE = f"""
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _jvm_dims(_payloads(spark, sf_dir))
     scale = F.least(F.lit(float(TARGET_EDGE)) / F.greatest("width", "height").cast("double"), F.lit(1.0))
+    null_safe = F.col("width").isNotNull()  # NULL payload -> NULL plan (greatest would skip the NULL to 1)
     return d.select(
         "doc_id",
         "width",
         "height",
-        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("rw"),
-        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("rh"),
+        F.when(null_safe, F.greatest(F.floor(F.col("width") * scale), F.lit(1))).cast("int").alias("rw"),
+        F.when(null_safe, F.greatest(F.floor(F.col("height") * scale), F.lit(1))).cast("int").alias("rh"),
     )
 
 

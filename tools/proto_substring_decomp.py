@@ -74,7 +74,7 @@ def main() -> None:
 
     def narrow_full():
         docs = catalog.table(spark, args.sf, "documents").select("doc_id", "text")
-        wins = docs.mapInPandas(
+        wins = docs.mapInArrow(
             dd._substring_win_kernel, "doc_id bigint, pos int, sh string"
         ).select(
             "doc_id", "pos",
@@ -160,7 +160,7 @@ def main() -> None:
 
     def np_wins(narrow=True):
         docs = catalog.table(spark, args.sf, "documents").select("doc_id", "text")
-        return docs.mapInPandas(
+        return docs.mapInArrow(
             dd._substring_win_kernel, f"doc_id bigint, pos {'int' if narrow else 'long'}, sh string"
         ).select(
             "doc_id", "pos",

@@ -299,6 +299,9 @@ def main():
                         print(f"  [{op}.{name}] run discarded (canary {c0} {c1})", flush=True)
                         continue
                 times.append(dt)
+            if not times:
+                print(f"time {op}.{name}: NO HEALTHY SAMPLES (all {N_RUNS} runs canary-discarded)", flush=True)
+                continue
             print(f"time {op}.{name}: min={min(times):.3f} samples={[round(t,3) for t in times]}", flush=True)
 
 

@@ -21,6 +21,8 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--n", type=int, default=5)
     ap.add_argument("--analyze", action="store_true")
+    ap.add_argument("--gated", action="store_true",
+                    help="bracket every run with the host canary (same as RUBIX_TIME_GATED=1)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +59,7 @@ def main() -> None:
     if args.analyze:
         catalog.analyze(spark, args.sf, route=True)
 
-    gated = os.environ.get("RUBIX_TIME_GATED") == "1"
+    gated = args.gated or os.environ.get("RUBIX_TIME_GATED") == "1"
     if gated:
         # r14 protocol: bracket every timed run with the host canary and discard
         # runs in degraded windows (this VM slows SIMD work up to ~50x — see
@@ -86,6 +88,11 @@ def main() -> None:
                     continue
             samples.append(dt)
         tag = f"  discarded={discarded}" if gated else ""
+        if not samples:
+            # every attempt landed in a degraded window — report and keep going so
+            # the remaining queries' results aren't lost with a ValueError
+            print(f"{name}: NO HEALTHY SAMPLES (all {attempts} attempts canary-discarded){tag}")
+            continue
         print(f"{name}: min={min(samples):.3f}s  samples={[round(s, 3) for s in samples]}{tag}")
 
 
